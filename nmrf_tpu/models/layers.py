@@ -1,0 +1,149 @@
+"""Common neural-net primitives shared across the NMRF model family.
+
+These re-implement (tpu-first, flax.linen, channel-last) the torch/timm
+primitives the reference uses pervasively: ``timm.Mlp``, ``DropPath``,
+``nn.InstanceNorm2d`` (affine-free), reference ``MLP`` (``NMP.py:54-66``),
+and the Conv-IN-ReLU-Conv projection stacks (``NMRF.py:56-65``).
+
+Numerical-parity notes (SURVEY.md §7.3 hard part #1):
+  * LayerNorm eps = 1e-5 (torch default; flax default is 1e-6).
+  * GELU is the exact erf form (torch default; flax default is tanh approx).
+  * InstanceNorm2d: torch default affine=False, eps=1e-5, stats over (H, W).
+  * Linear init: trunc_normal(std=0.02) + zero bias (reference _init_weights).
+  * Conv init: kaiming_normal fan_out relu => variance_scaling(2, fan_out).
+"""
+
+from functools import partial
+from typing import Any, Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+# torch-parity initializers
+trunc_normal_init = nn.initializers.truncated_normal(stddev=0.02, lower=-2.0, upper=2.0)
+kaiming_out_init = nn.initializers.variance_scaling(2.0, "fan_out", "truncated_normal")
+
+
+def kaiming_normal_out(key, shape, dtype=jnp.float32):
+    """torch kaiming_normal_(mode='fan_out', nonlinearity='relu') for HWIO convs."""
+    fan_out = shape[0] * shape[1] * shape[3] if len(shape) == 4 else shape[-1]
+    std = (2.0 / fan_out) ** 0.5
+    return jax.random.normal(key, shape, dtype) * std
+
+
+def gelu_exact(x):
+    return jax.nn.gelu(x, approximate=False)
+
+
+def get_activation(name: str) -> Callable:
+    if name == "relu":
+        return jax.nn.relu
+    if name == "gelu":
+        return gelu_exact
+    if name == "glu":
+        return jax.nn.glu
+    raise RuntimeError(f"activation should be relu/gelu/glu, not {name}.")
+
+
+def instance_norm_2d(x, eps=1e-5):
+    """Affine-free instance norm over spatial dims. x: [B, H, W, C]."""
+    mean = x.mean(axis=(1, 2), keepdims=True)
+    var = x.var(axis=(1, 2), keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps)
+
+
+class LayerNorm(nn.LayerNorm):
+    """LayerNorm with torch-default eps."""
+
+    epsilon: float = 1e-5
+
+
+class Dense(nn.Dense):
+    """Linear with reference init: trunc_normal(0.02) weight, zero bias."""
+
+    kernel_init: Any = trunc_normal_init
+    bias_init: Any = nn.initializers.zeros
+
+
+class Conv(nn.Conv):
+    """Conv with reference init: kaiming_normal fan_out (relu)."""
+
+    kernel_init: Any = kaiming_normal_out
+    bias_init: Any = nn.initializers.zeros
+
+
+class DropPath(nn.Module):
+    """Per-sample stochastic depth (timm DropPath parity)."""
+
+    rate: float = 0.0
+    deterministic: Optional[bool] = None
+
+    @nn.compact
+    def __call__(self, x, deterministic: Optional[bool] = None):
+        deterministic = nn.merge_param("deterministic", self.deterministic, deterministic)
+        if self.rate == 0.0 or deterministic:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("dropout")
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(rng, keep, shape)
+        return jnp.where(mask, x / keep, 0.0)
+
+
+class Mlp(nn.Module):
+    """timm-style MLP: fc1 -> act -> drop -> fc2 -> drop."""
+
+    hidden_features: int
+    out_features: int
+    act: Callable = gelu_exact
+    drop: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        x = Dense(self.hidden_features, name="fc1")(x)
+        x = self.act(x)
+        x = nn.Dropout(self.drop, deterministic=deterministic)(x)
+        x = Dense(self.out_features, name="fc2")(x)
+        x = nn.Dropout(self.drop, deterministic=deterministic)(x)
+        return x
+
+
+class MLPBlock(nn.Module):
+    """Reference plain MLP (``NMP.py:54-66``): n Linear layers, ReLU between."""
+
+    hidden_dim: int
+    output_dim: int
+    num_layers: int
+    # zero-init the final layer (used by DPN.prop_head, reference DPN.py:68-69)
+    zero_init_last: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        dims = [self.hidden_dim] * (self.num_layers - 1) + [self.output_dim]
+        for i, d in enumerate(dims):
+            last = i == self.num_layers - 1
+            init = nn.initializers.zeros if (last and self.zero_init_last) else trunc_normal_init
+            x = Dense(d, kernel_init=init, name=f"layers_{i}")(x)
+            if not last:
+                x = jax.nn.relu(x)
+        return x
+
+
+class ConvINReluConv(nn.Module):
+    """Conv3x3(no bias) -> InstanceNorm -> ReLU -> Conv1x1(no bias).
+
+    The projection stack used for concatconv/gw/context (``NMRF.py:56-65``,
+    ``DPN.py:45-49``).
+    """
+
+    mid_channels: int
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = Conv(self.mid_channels, (3, 3), padding=1, use_bias=False, name="conv1")(x)
+        x = instance_norm_2d(x)
+        x = jax.nn.relu(x)
+        x = Conv(self.out_channels, (1, 1), use_bias=False, name="conv2")(x)
+        return x

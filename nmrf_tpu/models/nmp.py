@@ -1,0 +1,408 @@
+"""Neural Message Passing layers for NMRF.
+
+TPU-first re-design of reference ``nmrf/models/NMP.py``:
+  * Tokens are kept in spatial layout [B, H, W, N, C] (N = candidates);
+    window partitioning is pure reshape/transpose (XLA-friendly, fuses away).
+  * All attention masks are computed as static numpy constants at trace time
+    (keyed on static shapes via lru_cache), not cached device buffers
+    (reference ``NMP.py:764-779``).
+  * Shifted windows use jnp.roll (global cyclic shift, exact reference
+    semantics ``NMP.py:249-250,286-287``).
+
+Behavioral parity targets are cited per class.
+"""
+
+import math
+from functools import lru_cache
+from typing import Callable, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.encodings import fourier_coord_embed, fourier_grid_embed
+from ..ops.sampling import disp_warp, sample_cost
+from .layers import Dense, DropPath, LayerNorm, Mlp, gelu_exact, get_activation, trunc_normal_init
+
+NEG_INF = -1e9  # finite -inf stand-in; softmax-safe and grad-safe
+
+
+# --------------------------------------------------------------------------- #
+# Static attention masks (numpy, trace-time constants)
+# --------------------------------------------------------------------------- #
+
+@lru_cache(maxsize=64)
+def window_attn_mask(window_size: Tuple[int, int, int]) -> np.ndarray:
+    """Anti-same-pixel mask (reference ``gen_window_attn_mask`` NMP.py:195-208).
+
+    Tokens are ordered (hs, ws, n).  Blocks attention between different
+    candidates of the same pixel; self-attention stays allowed.
+    Returns [T, T] with 0 / NEG_INF, T = wh*ww*n.
+    """
+    wh, ww, n = window_size
+    idx = np.repeat(np.arange(wh * ww), n)
+    same_pixel = idx[:, None] == idx[None, :]
+    mask = np.where(same_pixel, NEG_INF, 0.0).astype(np.float32)
+    np.fill_diagonal(mask, 0.0)
+    return mask
+
+
+@lru_cache(maxsize=64)
+def shift_window_attn_mask(input_resolution: Tuple[int, int],
+                           window_size: Tuple[int, int, int],
+                           shift_size: int,
+                           with_candidate_mask: bool = True) -> np.ndarray:
+    """Swin shifted-window mask ⊗ anti-same-pixel mask
+    (reference ``gen_shift_window_attn_mask`` NMP.py:210-239; the
+    ``Refinement`` variant omits the candidate mask, NMP.py:801-826).
+
+    Returns [num_windows, T, T].
+    """
+    H, W = input_resolution
+    wh, ww, n = window_size
+    img_mask = np.zeros((H, W))
+    h_slices = (slice(0, -wh), slice(-wh, -shift_size), slice(-shift_size, None))
+    w_slices = (slice(0, -ww), slice(-ww, -shift_size), slice(-shift_size, None))
+    cnt = 0
+    for hs in h_slices:
+        for ws in w_slices:
+            img_mask[hs, ws] = cnt
+            cnt += 1
+    mw = img_mask.reshape(H // wh, wh, W // ww, ww).transpose(0, 2, 1, 3).reshape(-1, wh * ww)
+    diff = mw[:, None, :] - mw[:, :, None]
+    attn_mask = np.where(diff != 0, NEG_INF, 0.0).astype(np.float32)
+    attn_mask = np.repeat(np.repeat(attn_mask, n, axis=1), n, axis=2)
+    if with_candidate_mask:
+        attn_mask = attn_mask + window_attn_mask(window_size)[None]
+    return attn_mask
+
+
+# --------------------------------------------------------------------------- #
+# Attention modules
+# --------------------------------------------------------------------------- #
+
+class BasicAttention(nn.Module):
+    """Self-edge attention over the N candidates of one pixel
+    (reference ``BasicAttention`` NMP.py:70-139).
+    """
+
+    dim: int
+    num_heads: int = 8
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+    drop_path: float = 0.0
+    normalize_before: bool = False
+
+    @nn.compact
+    def __call__(self, label_rep, abs_encoding, deterministic: bool = True):
+        """label_rep: [M, N, C]; abs_encoding: [M, N, C']."""
+        h = self.num_heads
+        hd = self.dim // h
+        scale = hd ** -0.5
+        norm1 = LayerNorm(name="norm1")
+
+        shortcut = label_rep
+        x = norm1(label_rep) if self.normalize_before else label_rep
+        qk_in = jnp.concatenate([x, abs_encoding], axis=-1)
+        q = Dense(self.dim, name="q")(qk_in)
+        k = Dense(self.dim, name="k")(qk_in)
+        v = Dense(self.dim, name="v")(x)
+
+        def heads(t):
+            return t.reshape(*t.shape[:-1], h, hd)
+
+        q, k, v = heads(q), heads(k), heads(v)  # [M,N,h,d]
+        attn = jnp.einsum("mihd,mjhd->mhij", q, k) * scale
+        attn = jax.nn.softmax(attn, axis=-1)
+        attn = nn.Dropout(self.attn_drop, deterministic=deterministic)(attn)
+        out = jnp.einsum("mhij,mjhd->mihd", attn, v)
+        out = out.reshape(*label_rep.shape[:-1], self.dim)
+        out = Dense(self.dim, name="proj")(out)
+        out = nn.Dropout(self.proj_drop, deterministic=deterministic)(out)
+        x = shortcut + out
+        if not self.normalize_before:
+            x = norm1(x)
+        return x
+
+
+class WindowAttention(nn.Module):
+    """Windowed positional-sensitive attention over (wh, ww, N) token blocks
+    (reference ``WindowAttention`` NMP.py:142-292): learnable relative-position
+    table of width 3*dim contributing q/k/v positional terms.
+    """
+
+    dim: int
+    window_size: Tuple[int, int]
+    shift_size: int
+    num_heads: int
+    attn_drop: float = 0.0
+
+    @nn.compact
+    def __call__(self, qkv, attn_mask, deterministic: bool = True):
+        """qkv: [B, H, W, N, 3C]; attn_mask: [nW, T, T] or None. -> [B,H,W,N,C]"""
+        B, H, W, N, _ = qkv.shape
+        wh, ww = self.window_size
+        h = self.num_heads
+        hd = self.dim // h
+        scale = hd ** -0.5
+
+        table = self.param(
+            "relative_position_enc_table",
+            nn.initializers.zeros,
+            ((2 * wh - 1) * (2 * ww - 1), self.dim * 3),
+        )
+        rel_index = _relative_position_index(wh, ww)  # np [wh*ww, wh*ww]
+
+        if self.shift_size > 0:
+            qkv = jnp.roll(qkv, (-self.shift_size, -self.shift_size), axis=(1, 2))
+
+        # window partition: [B*nW, h, T, 3hd] with token order (hs, ws, n)
+        nwh, nww = H // wh, W // ww
+        x = qkv.reshape(B, nwh, wh, nww, ww, N, 3, h, hd)
+        x = x.transpose(6, 0, 1, 3, 7, 2, 4, 5, 8)  # [3, B, nwh, nww, h, wh, ww, N, hd]
+        x = x.reshape(3, B * nwh * nww, h, wh * ww * N, hd)
+        q, k, v = x[0], x[1], x[2]
+
+        # positional contributions: rpe [T0, T0, h, 3hd] repeated over candidates
+        rpe = table[rel_index.reshape(-1)].reshape(wh * ww, wh * ww, h, 3 * hd)
+        rpe = jnp.repeat(jnp.repeat(rpe, N, axis=0), N, axis=1)  # [T, T, h, 3hd]
+        q_embed, k_embed, v_embed = jnp.split(rpe, 3, axis=-1)
+
+        q = q * scale
+        attn = jnp.einsum("bhic,bhjc->bhij", q, k)
+        attn = attn + jnp.einsum("bhic,ijhc->bhij", q, k_embed)
+        attn = attn + jnp.einsum("bhjc,ijhc->bhij", k, q_embed * scale)
+
+        if attn_mask is not None:
+            nW = attn_mask.shape[0]
+            attn = attn.reshape(B, nW, h, *attn.shape[-2:])
+            attn = attn + attn_mask[None, :, None]
+            attn = attn.reshape(B * nW, h, *attn.shape[-2:])
+
+        attn = jax.nn.softmax(attn, axis=-1)
+        attn = nn.Dropout(self.attn_drop, deterministic=deterministic)(attn)
+
+        out = jnp.einsum("bhij,bhjc->bhic", attn, v)
+        out = out + jnp.einsum("bhij,ijhc->bhic", attn, v_embed)
+
+        # un-partition
+        out = out.reshape(B, nwh, nww, h, wh, ww, N, hd)
+        out = out.transpose(0, 1, 4, 2, 5, 6, 3, 7).reshape(B, H, W, N, self.dim)
+        if self.shift_size > 0:
+            out = jnp.roll(out, (self.shift_size, self.shift_size), axis=(1, 2))
+        return out
+
+
+@lru_cache(maxsize=16)
+def _relative_position_index(wh: int, ww: int) -> np.ndarray:
+    coords = np.stack(np.meshgrid(np.arange(wh), np.arange(ww), indexing="ij"))
+    flat = coords.reshape(2, -1)
+    rel = flat[:, :, None] - flat[:, None, :]
+    rel = rel.transpose(1, 2, 0)
+    rel[:, :, 0] += wh - 1
+    rel[:, :, 1] += ww - 1
+    rel[:, :, 0] *= 2 * ww - 1
+    return rel.sum(-1)
+
+
+class SwinNMP(nn.Module):
+    """Swin message-passing block (reference ``SwinNMP`` NMP.py:295-398)."""
+
+    dim: int
+    num_heads: int
+    window_size: int = 7
+    shift_size: int = 0
+    mlp_ratio: float = 4.0
+    drop: float = 0.0
+    attn_drop: float = 0.0
+    drop_path: float = 0.0
+    act: Callable = gelu_exact
+    normalize_before: bool = False
+
+    @nn.compact
+    def __call__(self, label_rep, abs_encoding, attn_mask, deterministic: bool = True):
+        """label_rep: [B, H, W, N, C]; abs_encoding: [B, H, W, N, C']."""
+        norm1 = LayerNorm(name="norm1")
+        norm2 = LayerNorm(name="norm2")
+        drop_path = DropPath(self.drop_path)
+
+        shortcut = label_rep
+        x = norm1(label_rep) if self.normalize_before else label_rep
+        x = jnp.concatenate([x, abs_encoding], axis=-1)
+        qkv = Dense(3 * self.dim, name="qkv")(x)
+        msg = WindowAttention(
+            self.dim, (self.window_size, self.window_size), self.shift_size,
+            self.num_heads, self.attn_drop, name="attn",
+        )(qkv, attn_mask, deterministic)
+        msg = Dense(self.dim, name="proj")(msg)
+        msg = nn.Dropout(self.drop, deterministic=deterministic)(msg)
+        x = shortcut + drop_path(msg, deterministic)
+        mlp = Mlp(int(self.dim * self.mlp_ratio), self.dim, act=self.act,
+                  drop=self.drop, name="mlp")
+        if self.normalize_before:
+            x = x + drop_path(mlp(norm2(x), deterministic), deterministic)
+        else:
+            x = norm1(x)
+            x = x + drop_path(mlp(x, deterministic), deterministic)
+            x = norm2(x)
+        return x
+
+
+class CSWinAttention(nn.Module):
+    """Cross-shaped-window stripe attention with conv positional term
+    (reference ``CSWinAttention`` NMP.py:401-505).
+
+    idx=0: vertical stripes (H_sp=H, W_sp=split); idx=1: horizontal.
+    The depthwise-conv positional term sums candidate planes and removes
+    other-candidates' center-tap contributions (self-edge removal,
+    NMP.py:433-449).
+    """
+
+    dim: int
+    idx: int
+    split_size: int = 7
+    num_heads: int = 8
+    attn_drop: float = 0.0
+
+    @nn.compact
+    def __call__(self, query, key, value, deterministic: bool = True):
+        """query/key/value: [B, H, W, N, C] -> [B, H, W, N, C]."""
+        B, H, W, N, C = query.shape
+        h = self.num_heads
+        hd = self.dim // h
+        scale = hd ** -0.5
+
+        if self.idx == 0:
+            H_sp, W_sp = H, self.split_size
+        elif self.idx == 1:
+            H_sp, W_sp = self.split_size, W
+        else:
+            H_sp, W_sp = H, W
+
+        # pad to stripe multiples (centered, reference NMP.py:474-485)
+        H_pad = (H_sp - H % H_sp) % H_sp
+        W_pad = (W_sp - W % W_sp) % W_sp
+        tp, lp = H_pad // 2, W_pad // 2
+        bp, rp = H_pad - tp, W_pad - lp
+        pad = ((0, 0), (tp, bp), (lp, rp), (0, 0), (0, 0))
+        q = jnp.pad(query, pad)
+        k = jnp.pad(key, pad)
+        v = jnp.pad(value, pad)
+        Hp, Wp = H + H_pad, W + W_pad
+        ni, nj = Hp // H_sp, Wp // W_sp
+
+        def to_stripes(t):  # [B,Hp,Wp,N,C] -> [B*ni*nj, h, H_sp*W_sp*N, hd]
+            t = t.reshape(B, ni, H_sp, nj, W_sp, N, h, hd)
+            return t.transpose(0, 1, 3, 6, 2, 4, 5, 7).reshape(
+                B * ni * nj, h, H_sp * W_sp * N, hd)
+
+        # depthwise 3x3 conv positional term on stripe-local planes
+        kernel = self.param("get_v_kernel", _torch_conv_default_init,
+                            (3, 3, 1, self.dim))  # HWIO, depthwise
+        vs = v.reshape(B, ni, H_sp, nj, W_sp, N, self.dim)
+        vs = vs.transpose(0, 1, 3, 5, 2, 4, 6).reshape(B * ni * nj * N, H_sp, W_sp, self.dim)
+        rpe_full = jax.lax.conv_general_dilated(
+            vs, kernel, window_strides=(1, 1), padding=((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=self.dim,
+        ).reshape(B * ni * nj, N, H_sp, W_sp, self.dim)
+        rpe_sum = rpe_full.sum(axis=1, keepdims=True)  # sum over candidates
+        # self-edge removal: subtract other-candidates' center-tap contribution
+        w_center = kernel[1, 1, 0, :]  # [dim]
+        center = vs.reshape(B * ni * nj, N, H_sp, W_sp, self.dim) * w_center
+        others = center.sum(axis=1, keepdims=True) - center  # sum over k != j
+        rpe = rpe_sum - others  # [B', N, H_sp, W_sp, dim]
+        rpe = rpe.transpose(0, 2, 3, 1, 4).reshape(
+            B * ni * nj, H_sp * W_sp * N, h, hd).transpose(0, 2, 1, 3)
+
+        qs, ks = to_stripes(q), to_stripes(k)
+        vv = v.reshape(B, ni, H_sp, nj, W_sp, N, self.dim)
+        vv = vv.transpose(0, 1, 3, 5, 2, 4, 6).reshape(B * ni * nj, N, H_sp, W_sp, self.dim)
+        vv = vv.transpose(0, 2, 3, 1, 4).reshape(
+            B * ni * nj, H_sp * W_sp * N, h, hd).transpose(0, 2, 1, 3)
+
+        attn = jnp.einsum("bhic,bhjc->bhij", qs * scale, ks)
+        mask = jnp.asarray(window_attn_mask((H_sp, W_sp, N)))
+        attn = attn + mask[None, None]
+        attn = jax.nn.softmax(attn, axis=-1)
+        attn = nn.Dropout(self.attn_drop, deterministic=deterministic)(attn)
+        out = jnp.einsum("bhij,bhjc->bhic", attn, vv) + rpe
+
+        out = out.transpose(0, 2, 1, 3).reshape(B, ni, nj, H_sp, W_sp, N, self.dim)
+        out = out.transpose(0, 1, 3, 2, 4, 5, 6).reshape(B, Hp, Wp, N, self.dim)
+        return out[:, tp:tp + H, lp:lp + W]
+
+
+def _torch_conv_default_init(key, shape, dtype=jnp.float32):
+    """torch Conv2d default init: kaiming_uniform(a=sqrt(5)) => U(-b, b),
+    b = 1/sqrt(fan_in), fan_in = kh*kw*in_ch_per_group (HWIO shape[0:3])."""
+    fan_in = shape[0] * shape[1] * shape[2]
+    bound = 1.0 / math.sqrt(fan_in) if fan_in > 0 else 0.0
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+class CSWinNMP(nn.Module):
+    """CSWin message-passing block (reference ``CSWinNMP`` NMP.py:508-600).
+
+    dim is split in half: one half attends in vertical stripes, the other in
+    horizontal stripes.  qk input is (embedding ++ visual context); v gets a
+    fourier grid pos-embed when v_dim > dim.
+    """
+
+    dim: int
+    qk_dim: int
+    v_dim: int
+    num_heads: int
+    split_size: int = 7
+    mlp_ratio: float = 4.0
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+    drop_path: float = 0.0
+    dropout: float = 0.0
+    act: Callable = gelu_exact
+    normalize_before: bool = False
+
+    @nn.compact
+    def __call__(self, tgt, context, deterministic: bool = True):
+        """tgt: [B, H, W, N, C]; context: [B, H, W, N, C_ctx] or None."""
+        B, H, W, N, C = tgt.shape
+        norm1 = LayerNorm(name="norm1")
+        norm2 = LayerNorm(name="norm2")
+        drop_path = DropPath(self.drop_path)
+
+        shortcut = tgt
+        x = norm1(tgt) if self.normalize_before else tgt
+        qk = jnp.concatenate([x, context], axis=-1) if context is not None else x
+        if self.v_dim > self.dim:
+            pe = fourier_grid_embed((H, W), self.v_dim - self.dim, dtype=x.dtype)
+            pe = jnp.broadcast_to(pe[None, :, :, None, :], (B, H, W, N, self.v_dim - self.dim))
+            v_in = jnp.concatenate([x, pe], axis=-1)
+        else:
+            v_in = x
+        query = Dense(self.dim, name="q")(qk)
+        key = Dense(self.dim, name="k")(qk)
+        value = Dense(self.dim, name="v")(v_in)
+
+        half = self.dim // 2
+        x1 = CSWinAttention(half, idx=0, split_size=self.split_size,
+                            num_heads=self.num_heads // 2,
+                            attn_drop=self.attn_drop, name="attns_0")(
+            query[..., :half], key[..., :half], value[..., :half], deterministic)
+        x2 = CSWinAttention(half, idx=1, split_size=self.split_size,
+                            num_heads=self.num_heads // 2,
+                            attn_drop=self.attn_drop, name="attns_1")(
+            query[..., half:], key[..., half:], value[..., half:], deterministic)
+        msg = jnp.concatenate([x1, x2], axis=-1)
+        msg = Dense(self.dim, name="proj")(msg)
+        msg = nn.Dropout(self.proj_drop, deterministic=deterministic)(msg)
+        x = shortcut + drop_path(msg, deterministic)
+        mlp = Mlp(int(self.dim * self.mlp_ratio), self.dim, act=self.act,
+                  drop=self.dropout, name="mlp")
+        if self.normalize_before:
+            x = x + drop_path(mlp(norm2(x), deterministic), deterministic)
+        else:
+            x = norm1(x)
+            x = x + drop_path(mlp(x, deterministic), deterministic)
+            x = norm2(x)
+        return x
