@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Benchmark: KITTI-resolution stereo inference latency on one chip.
+
+Baseline: the reference reports 90 ms/frame at 1242x375 on an RTX 3090
+(BASELINE.md).  We measure steady-state jitted latency of the full NMRF
+forward (resnet backbone, default config) at the same logical resolution,
+padded to divisibility like the reference's InputPadder ('proposal' mode).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_MS = 90.0
+
+
+def main():
+    from nmrf_tpu.utils.runtime import configure_jax
+
+    configure_jax()
+    import jax
+    import jax.numpy as jnp
+
+    from nmrf_tpu.config import get_cfg
+    from nmrf_tpu.data.frame_io import InputPadder
+    from nmrf_tpu.models import build_model
+
+    cfg = get_cfg()
+    cfg.merge_from_list(sys.argv[1:])
+    cfg.freeze()
+
+    model, _ = build_model(cfg)
+
+    H, W = 375, 1242  # KITTI 2015
+    padder = InputPadder((H, W), mode="proposal", divis_by=cfg.DATASETS.DIVIS_BY)
+    rng = np.random.RandomState(0)
+    img1 = np.asarray(padder.pad((rng.rand(H, W, 3) * 255).astype(np.float32))[0])
+    img2 = np.asarray(padder.pad((rng.rand(H, W, 3) * 255).astype(np.float32))[0])
+    img1 = jnp.asarray(img1[None])
+    img2 = jnp.asarray(img2[None])
+
+    params = jax.jit(lambda r: model.init(r, img1, img2, train=False))(
+        jax.random.PRNGKey(0))
+
+    @jax.jit
+    def fwd(p, a, b):
+        return model.apply(p, a, b, train=False)["disp"]
+
+    # compile + warmup
+    out = fwd(params, img1, img2)
+    out.block_until_ready()
+    for _ in range(3):
+        fwd(params, img1, img2).block_until_ready()
+
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fwd(params, img1, img2)
+    out.block_until_ready()
+    ms = (time.perf_counter() - t0) / iters * 1000.0
+
+    print(json.dumps({
+        "metric": "kitti_1242x375_latency",
+        "value": round(ms, 3),
+        "unit": "ms/frame",
+        "vs_baseline": round(BASELINE_MS / ms, 3),  # >1 means faster than 3090
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -92,6 +92,7 @@ class CfgNode(dict):
             if isinstance(v, (dict, CfgNode)) and isinstance(self.get(k), CfgNode):
                 self[k].merge_from_other(v)
             else:
+                v = _literal_coerce(v)
                 self[k] = self._to_node(copy.deepcopy(v) if isinstance(v, (dict, list)) else v)
         return self
 
@@ -125,6 +126,22 @@ class CfgNode(dict):
     def _assert_mutable(self):
         if self.is_frozen():
             raise AttributeError("Attempted to modify a frozen CfgNode")
+
+
+def _literal_coerce(value):
+    """yacs parity: YAML strings that are python literals (e.g. the
+    ``("kitti_mix",)`` tuples in the reference configs) are literal_eval'd;
+    tuples become lists."""
+    if isinstance(value, str):
+        import ast
+
+        try:
+            value = ast.literal_eval(value)
+        except (ValueError, SyntaxError):
+            return value
+    if isinstance(value, tuple):
+        value = [_literal_coerce(x) if isinstance(x, (str, tuple)) else x for x in value]
+    return value
 
 
 def _decode_override(value: str, old: Any):

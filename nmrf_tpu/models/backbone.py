@@ -1,0 +1,70 @@
+"""Feature extraction backbones.
+
+ResNet-ish CNN backbone: behavioral parity target reference
+``nmrf/models/backbone.py:16-98`` (``ResidualBlock``, ``Backbone``).
+Outputs a [1/4-res, 1/8-res] feature pyramid (channel-last).
+
+The Swin-T + DeformNeck backbone lives in ``swin.py`` / ``adaptor.py``.
+"""
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .layers import Conv, instance_norm_2d
+
+
+class ResidualBlock(nn.Module):
+    """conv3x3(stride)-IN-relu -> conv3x3-IN-relu -> +identity -> relu
+    (reference ``backbone.py:16-45``)."""
+
+    planes: int
+    stride: int = 1
+    dilation: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        in_planes = x.shape[-1]
+        identity = x
+        y = Conv(self.planes, (3, 3), strides=self.stride,
+                 kernel_dilation=self.dilation, padding=self.dilation,
+                 use_bias=False, name="conv1")(x)
+        y = jax.nn.relu(instance_norm_2d(y))
+        y = Conv(self.planes, (3, 3), kernel_dilation=self.dilation,
+                 padding=self.dilation, use_bias=False, name="conv2")(y)
+        y = jax.nn.relu(instance_norm_2d(y))
+        if not (self.stride == 1 and in_planes == self.planes):
+            identity = Conv(self.planes, (1, 1), strides=self.stride,
+                            name="downsample")(identity)
+            identity = instance_norm_2d(identity)
+        return jax.nn.relu(y + identity)
+
+
+class Backbone(nn.Module):
+    """CNN backbone (reference ``backbone.py:48-98``).
+
+    Input [B, H, W, 3] in 0..255; normalized to [-1, 1] internally.
+    Returns [1/4-res [B,H/4,W/4,out], 1/8-res avg-pooled] (high to low).
+    """
+
+    output_dim: int = 256
+
+    @nn.compact
+    def __call__(self, x):
+        x = 2.0 * (x / 255.0) - 1.0
+        x = Conv(64, (7, 7), strides=2, padding=3, use_bias=False, name="conv1")(x)
+        x = jax.nn.relu(instance_norm_2d(x))
+        # layer1: 64 @ 1/2
+        x = ResidualBlock(64, name="layer1_0")(x)
+        x = ResidualBlock(64, name="layer1_1")(x)
+        # layer2: 96 @ 1/4
+        x = ResidualBlock(96, stride=2, name="layer2_0")(x)
+        x = ResidualBlock(96, name="layer2_1")(x)
+        # layer3: 128 @ 1/4
+        x = ResidualBlock(128, name="layer3_0")(x)
+        x = ResidualBlock(128, name="layer3_1")(x)
+        x = Conv(self.output_dim, (1, 1), name="conv2")(x)
+        pooled = nn.avg_pool(x, (2, 2), strides=(2, 2))
+        return [x, pooled]  # high to low res

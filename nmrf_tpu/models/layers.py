@@ -74,17 +74,22 @@ class Conv(nn.Conv):
 
 
 class DropPath(nn.Module):
-    """Per-sample stochastic depth (timm DropPath parity)."""
+    """Per-sample stochastic depth (timm DropPath parity).
+
+    ``rate`` may be a static float or (under nn.scan layer stacks) a traced
+    scalar passed at call time.
+    """
 
     rate: float = 0.0
     deterministic: Optional[bool] = None
 
     @nn.compact
-    def __call__(self, x, deterministic: Optional[bool] = None):
+    def __call__(self, x, deterministic: Optional[bool] = None, rate=None):
         deterministic = nn.merge_param("deterministic", self.deterministic, deterministic)
-        if self.rate == 0.0 or deterministic:
+        rate = self.rate if rate is None else rate
+        if deterministic or (isinstance(rate, float) and rate == 0.0):
             return x
-        keep = 1.0 - self.rate
+        keep = 1.0 - rate
         rng = self.make_rng("dropout")
         shape = (x.shape[0],) + (1,) * (x.ndim - 1)
         mask = jax.random.bernoulli(rng, keep, shape)

@@ -139,8 +139,10 @@ class WindowAttention(nn.Module):
     attn_drop: float = 0.0
 
     @nn.compact
-    def __call__(self, qkv, attn_mask, deterministic: bool = True):
-        """qkv: [B, H, W, N, 3C]; attn_mask: [nW, T, T] or None. -> [B,H,W,N,C]"""
+    def __call__(self, qkv, attn_mask, deterministic: bool = True, shift=None):
+        """qkv: [B, H, W, N, 3C]; attn_mask: [nW, T, T] or None;
+        shift: optional traced shift override (for nn.scan layer stacks).
+        -> [B, H, W, N, C]"""
         B, H, W, N, _ = qkv.shape
         wh, ww = self.window_size
         h = self.num_heads
@@ -154,8 +156,10 @@ class WindowAttention(nn.Module):
         )
         rel_index = _relative_position_index(wh, ww)  # np [wh*ww, wh*ww]
 
-        if self.shift_size > 0:
-            qkv = jnp.roll(qkv, (-self.shift_size, -self.shift_size), axis=(1, 2))
+        if shift is None:
+            shift = self.shift_size
+        if not (isinstance(shift, int) and shift == 0):
+            qkv = jnp.roll(qkv, (-shift, -shift), axis=(1, 2))
 
         # window partition: [B*nW, h, T, 3hd] with token order (hs, ws, n)
         nwh, nww = H // wh, W // ww
@@ -175,7 +179,7 @@ class WindowAttention(nn.Module):
         attn = attn + jnp.einsum("bhjc,ijhc->bhij", k, q_embed * scale)
 
         if attn_mask is not None:
-            nW = attn_mask.shape[0]
+            nW = nwh * nww  # attn_mask broadcasts when it has leading dim 1
             attn = attn.reshape(B, nW, h, *attn.shape[-2:])
             attn = attn + attn_mask[None, :, None]
             attn = attn.reshape(B * nW, h, *attn.shape[-2:])
@@ -189,8 +193,8 @@ class WindowAttention(nn.Module):
         # un-partition
         out = out.reshape(B, nwh, nww, h, wh, ww, N, hd)
         out = out.transpose(0, 1, 4, 2, 5, 6, 3, 7).reshape(B, H, W, N, self.dim)
-        if self.shift_size > 0:
-            out = jnp.roll(out, (self.shift_size, self.shift_size), axis=(1, 2))
+        if not (isinstance(shift, int) and shift == 0):
+            out = jnp.roll(out, (shift, shift), axis=(1, 2))
         return out
 
 
@@ -221,8 +225,10 @@ class SwinNMP(nn.Module):
     normalize_before: bool = False
 
     @nn.compact
-    def __call__(self, label_rep, abs_encoding, attn_mask, deterministic: bool = True):
-        """label_rep: [B, H, W, N, C]; abs_encoding: [B, H, W, N, C']."""
+    def __call__(self, label_rep, abs_encoding, attn_mask,
+                 deterministic: bool = True, shift=None, drop_path_rate=None):
+        """label_rep: [B, H, W, N, C]; abs_encoding: [B, H, W, N, C'].
+        shift/drop_path_rate: traced overrides for nn.scan layer stacks."""
         norm1 = LayerNorm(name="norm1")
         norm2 = LayerNorm(name="norm2")
         drop_path = DropPath(self.drop_path)
@@ -234,17 +240,19 @@ class SwinNMP(nn.Module):
         msg = WindowAttention(
             self.dim, (self.window_size, self.window_size), self.shift_size,
             self.num_heads, self.attn_drop, name="attn",
-        )(qkv, attn_mask, deterministic)
+        )(qkv, attn_mask, deterministic, shift=shift)
         msg = Dense(self.dim, name="proj")(msg)
         msg = nn.Dropout(self.drop, deterministic=deterministic)(msg)
-        x = shortcut + drop_path(msg, deterministic)
+        x = shortcut + drop_path(msg, deterministic, rate=drop_path_rate)
         mlp = Mlp(int(self.dim * self.mlp_ratio), self.dim, act=self.act,
                   drop=self.drop, name="mlp")
         if self.normalize_before:
-            x = x + drop_path(mlp(norm2(x), deterministic), deterministic)
+            x = x + drop_path(mlp(norm2(x), deterministic), deterministic,
+                              rate=drop_path_rate)
         else:
             x = norm1(x)
-            x = x + drop_path(mlp(x, deterministic), deterministic)
+            x = x + drop_path(mlp(x, deterministic), deterministic,
+                              rate=drop_path_rate)
             x = norm2(x)
         return x
 
@@ -364,7 +372,8 @@ class CSWinNMP(nn.Module):
     normalize_before: bool = False
 
     @nn.compact
-    def __call__(self, tgt, context, deterministic: bool = True):
+    def __call__(self, tgt, context, deterministic: bool = True,
+                 drop_path_rate=None):
         """tgt: [B, H, W, N, C]; context: [B, H, W, N, C_ctx] or None."""
         B, H, W, N, C = tgt.shape
         norm1 = LayerNorm(name="norm1")
@@ -396,13 +405,15 @@ class CSWinNMP(nn.Module):
         msg = jnp.concatenate([x1, x2], axis=-1)
         msg = Dense(self.dim, name="proj")(msg)
         msg = nn.Dropout(self.proj_drop, deterministic=deterministic)(msg)
-        x = shortcut + drop_path(msg, deterministic)
+        x = shortcut + drop_path(msg, deterministic, rate=drop_path_rate)
         mlp = Mlp(int(self.dim * self.mlp_ratio), self.dim, act=self.act,
                   drop=self.dropout, name="mlp")
         if self.normalize_before:
-            x = x + drop_path(mlp(norm2(x), deterministic), deterministic)
+            x = x + drop_path(mlp(norm2(x), deterministic), deterministic,
+                              rate=drop_path_rate)
         else:
             x = norm1(x)
-            x = x + drop_path(mlp(x, deterministic), deterministic)
+            x = x + drop_path(mlp(x, deterministic), deterministic,
+                              rate=drop_path_rate)
             x = norm2(x)
         return x

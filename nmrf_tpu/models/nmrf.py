@@ -1,0 +1,214 @@
+"""NMRF top-level model.
+
+Behavioral parity target: reference ``nmrf/models/NMRF.py:21-273``:
+backbone -> groupwise cost volume -> DPN -> NMRF inference (8x8 sub-patch
+decode + selection) -> refinement (4x4 sub-patch residual decode).
+
+Everything is channel-last and shape-static; eval-time padding to
+divisibility is done OUTSIDE the jitted model (see ``utils.frame_utils``).
+The aux-loss path returns stacked per-layer predictions instead of a list of
+dicts — the criterion consumes them vectorized.
+"""
+
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.correlation import correlation_volume
+from .backbone import Backbone
+from .dpn import DPN
+from .layers import ConvINReluConv, Dense, MLPBlock
+from .stages import Inference, Refinement
+
+
+def _subpatch_to_full(x, patch):
+    """[..., B, H, W, N, patch*patch] -> [..., B, H*patch, W*patch, N]
+    (einops 'a (b h w) n (hs ws) -> a b (h hs) (w ws) n')."""
+    *lead, B, H, W, N, PP = x.shape
+    x = x.reshape(*lead, B, H, W, N, patch, patch)
+    # -> [..., B, H, hs, W, ws, N]
+    perm = list(range(len(lead))) + [len(lead) + i for i in (0, 1, 4, 2, 5, 3)]
+    x = x.transpose(*perm)
+    return x.reshape(*lead, B, H * patch, W * patch, N)
+
+
+def _lower_median_pool(x, k):
+    """Block-pool [B, H, W] by k x k lower median (torch.median semantics:
+    the lower of the two middle values, reference NMRF.py:230-231)."""
+    B, H, W = x.shape
+    x = x.reshape(B, H // k, k, W // k, k).transpose(0, 1, 3, 2, 4)
+    x = x.reshape(B, H // k, W // k, k * k)
+    x = jnp.sort(x, axis=-1)
+    return x[..., (k * k - 1) // 2]
+
+
+class NMRF(nn.Module):
+    """Neural Markov Random Field stereo model (flagship)."""
+
+    # architecture (mirrors reference from_config, NMRF.py:123-152)
+    backbone_type: str = "resnet"
+    backbone_out_channels: int = 256
+    backbone_drop_path: float = 0.0
+    num_proposals: int = 4
+    max_disp: int = 320
+    cost_group: int = 4
+    context_dim: int = 64
+    prop_embed_dim: int = 128
+    infer_embed_dim: int = 128
+    mlp_ratio: float = 4.0
+    split_size: int = 1
+    window_size: int = 6
+    refine_window_size: int = 4
+    prop_n_heads: int = 4
+    infer_n_heads: int = 4
+    num_prop_layers: int = 5
+    num_infer_layers: int = 5
+    num_refine_layers: int = 5
+    with_refinement: bool = True
+    return_intermediate: bool = True
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+    drop_path: float = 0.0
+    dropout: float = 0.0
+    normalize_before: bool = True
+    activation: str = "gelu"
+    aux_loss: bool = True
+
+    def setup(self):
+        if self.backbone_type == "resnet":
+            self.image_encoder = Backbone(self.backbone_out_channels, name="backbone")
+        elif self.backbone_type == "swin":
+            from .adaptor import SwinAdaptor
+            self.image_encoder = SwinAdaptor(
+                out_channels=self.backbone_out_channels,
+                drop_path_rate=self.backbone_drop_path, name="backbone")
+        else:
+            raise ValueError(f"unknown backbone {self.backbone_type}")
+
+        self.concatconv = ConvINReluConv(128, 64, name="concatconv")
+        self.gw = ConvINReluConv(128, 256, name="gw")
+
+        self.dpn = DPN(
+            cost_group=self.cost_group,
+            num_proposals=self.num_proposals,
+            feat_dim=self.backbone_out_channels,
+            context_dim=self.context_dim,
+            num_prop_layers=self.num_prop_layers,
+            prop_embed_dim=self.prop_embed_dim,
+            mlp_ratio=self.mlp_ratio,
+            split_size=self.split_size,
+            prop_n_heads=self.prop_n_heads,
+            activation=self.activation,
+            attn_drop=self.attn_drop,
+            proj_drop=self.proj_drop,
+            drop_path=self.drop_path,
+            dropout=self.dropout,
+            normalize_before=self.normalize_before,
+            name="dpn")
+
+        self.inference = Inference(
+            cost_group=32, dim=self.infer_embed_dim,
+            num_layers=self.num_infer_layers, mlp_ratio=self.mlp_ratio,
+            window_size=self.window_size, n_heads=self.infer_n_heads,
+            activation=self.activation, attn_drop=self.attn_drop,
+            proj_drop=self.proj_drop, drop_path=self.drop_path,
+            dropout=self.dropout, normalize_before=self.normalize_before,
+            return_intermediate=self.return_intermediate, name="inference")
+        self.infer_head = MLPBlock(self.infer_embed_dim, 8 * 8, 3, name="infer_head")
+        self.infer_score_head = Dense(8 * 8, name="infer_score_head")
+
+        if self.with_refinement:
+            self.refinement = Refinement(
+                cost_group=32, dim=self.infer_embed_dim,
+                num_layers=self.num_refine_layers, mlp_ratio=self.mlp_ratio,
+                window_size=self.refine_window_size, n_heads=self.infer_n_heads,
+                activation=self.activation, attn_drop=self.attn_drop,
+                proj_drop=self.proj_drop, drop_path=self.drop_path,
+                dropout=self.dropout, normalize_before=self.normalize_before,
+                return_intermediate=self.return_intermediate, name="refinement")
+            self.refine_head = MLPBlock(self.infer_embed_dim, 4 * 4, 3, name="refine_head")
+
+    def extract_feature(self, img1, img2):
+        """Batch both images through the backbone; returns per-image feature
+        lists ordered low->high res ([1/8, 1/4]), reference NMRF.py:172-187."""
+        feats = self.image_encoder(jnp.concatenate([img1, img2], axis=0))
+        feats = feats[::-1]  # low to high res
+        B = img1.shape[0]
+        f1 = [f[:B] for f in feats]
+        f2 = [f[B:] for f in feats]
+        return f1, f2
+
+    def __call__(self, img1, img2, train: bool = False):
+        """img1/img2: [B, H, W, 3] float (0..255), H, W divisible by divis_by.
+
+        Returns dict:
+          disp: [B, H, W] full-res disparity
+          prob: [B*H/8*W/8, D] initial distribution
+          proposal / initial_proposal: [B, H/8*W/8, N]
+          (train) coarse_disp/logits: [L_i, B, H, W, N]; disp_pred: [L_r, B, H, W]
+        """
+        deterministic = not train
+        B = img1.shape[0]
+        f1_list, f2_list = self.extract_feature(img1, img2)
+
+        cost_volume = correlation_volume(
+            f1_list[0], f2_list[0], self.max_disp // 8, self.cost_group)
+        _, prob, label_seeds, labels = self.dpn(
+            cost_volume, f1_list, deterministic)
+
+        # ---- NMRF inference at 1/8 ---- #
+        fmap1 = self.concatconv(f1_list[0])
+        fmap2 = self.concatconv(f2_list[0])
+        fmap1_gw = self.gw(f1_list[0])
+        fmap2_gw = self.gw(f2_list[0])
+        h8, w8 = fmap1.shape[1:3]
+        labels_curr = jax.lax.stop_gradient(
+            labels[-1].reshape(B, h8, w8, self.num_proposals))
+
+        tgt = self.inference(labels_curr, fmap1, fmap2, fmap1_gw, fmap2_gw,
+                             deterministic)  # [L,B,h8,w8,N,C]
+        disp_delta = self.infer_head(tgt)  # [L,B,h8,w8,N,64]
+        coarse = jax.nn.relu(labels_curr[None, ..., None] + disp_delta)
+        logits = 0.25 * self.infer_score_head(tgt)
+        coarse = _subpatch_to_full(coarse, 8)  # [L,B,H,W,N]
+        logits = _subpatch_to_full(logits, 8)
+
+        disp_pred = None
+        if self.with_refinement:
+            idx = jnp.argmax(logits[-1], axis=-1, keepdims=True)
+            disp_curr = jnp.take_along_axis(coarse[-1], idx, axis=-1).squeeze(-1) * 2
+            disp_curr = _lower_median_pool(disp_curr, 4)  # [B, H/4, W/4]
+            disp_curr = jax.lax.stop_gradient(disp_curr)
+            rf1 = self.concatconv(f1_list[1])
+            rf2 = self.concatconv(f2_list[1])
+            rf1_gw = self.gw(f1_list[1])
+            rf2_gw = self.gw(f2_list[1])
+            tgt_r = self.refinement(disp_curr, rf1, rf2, rf1_gw, rf2_gw,
+                                    deterministic)  # [L,B,H/4,W/4,C]
+            delta_r = self.refine_head(tgt_r)  # [L,B,H/4,W/4,16]
+            disp_pred = jax.nn.relu(disp_curr[None, ..., None] + delta_r)
+            disp_pred = _subpatch_to_full(disp_pred[..., None, :], 4).squeeze(-1)
+            # [L, B, H, W]
+
+        if disp_pred is not None:
+            disp = disp_pred[-1] * 4
+        else:
+            idx = jnp.argmax(logits[-1], axis=-1, keepdims=True)
+            disp = jnp.take_along_axis(coarse[-1], idx, axis=-1).squeeze(-1) * 8
+
+        out: Dict[str, Any] = {
+            "disp": disp,
+            "prob": prob,
+            "proposal": labels[-1].reshape(B, -1, self.num_proposals),
+            "initial_proposal": label_seeds.reshape(B, -1, self.num_proposals),
+        }
+        if disp_pred is not None:
+            out["disp_pred"] = disp_pred[-1]
+        if train and self.aux_loss:
+            out["coarse_disp_layers"] = coarse      # [L_i, B, H, W, N]
+            out["logits_layers"] = logits           # [L_i, B, H, W, N]
+            if disp_pred is not None:
+                out["disp_pred_layers"] = disp_pred  # [L_r, B, H, W]
+        return out

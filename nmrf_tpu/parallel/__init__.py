@@ -1,0 +1,1 @@
+from .mesh import (batch_sharding, initialize_distributed, make_eval_step, make_mesh, make_train_step, replicated, shard_batch)

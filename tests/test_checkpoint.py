@@ -1,0 +1,168 @@
+"""torch->JAX checkpoint converter tests.
+
+Builds a synthetic reference-style state dict (keys as emitted by the torch
+reference model, shapes derived from the default architecture) and checks the
+converted tree lands on real flax param paths with matching shapes.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from nmrf_tpu.config import get_cfg
+from nmrf_tpu.models import build_model
+from nmrf_tpu.utils.checkpoint import convert_torch_state_dict
+
+
+def torch_like_state_dict():
+    """Representative subset of reference state-dict keys (torch layouts)."""
+    sd = {}
+    # backbone
+    sd["backbone.conv1.weight"] = np.zeros((64, 3, 7, 7), np.float32)
+    sd["backbone.layer2.0.conv1.weight"] = np.zeros((96, 64, 3, 3), np.float32)
+    sd["backbone.layer2.0.downsample.0.weight"] = np.zeros((96, 64, 1, 1), np.float32)
+    sd["backbone.layer2.0.downsample.0.bias"] = np.zeros((96,), np.float32)
+    sd["backbone.conv2.weight"] = np.zeros((256, 128, 1, 1), np.float32)
+    sd["backbone.conv2.bias"] = np.zeros((256,), np.float32)
+    # projection stacks
+    sd["concatconv.0.weight"] = np.zeros((128, 256, 3, 3), np.float32)
+    sd["concatconv.3.weight"] = np.zeros((64, 128, 1, 1), np.float32)
+    sd["gw.0.weight"] = np.zeros((128, 256, 3, 3), np.float32)
+    sd["gw.3.weight"] = np.zeros((256, 128, 1, 1), np.float32)
+    # dpn
+    sd["dpn.mlp.0.weight"] = np.zeros((8, 4, 5), np.float32)
+    sd["dpn.mlp.0.bias"] = np.zeros((8,), np.float32)
+    sd["dpn.mlp.2.weight"] = np.zeros((16, 8, 5), np.float32)
+    sd["dpn.mlp.2.bias"] = np.zeros((16,), np.float32)
+    sd["dpn.mlp.4.weight"] = np.zeros((1, 16, 5), np.float32)
+    sd["dpn.mlp.4.bias"] = np.zeros((1,), np.float32)
+    sd["dpn.proj.0.weight"] = np.zeros((128, 256, 3, 3), np.float32)
+    sd["dpn.proj.3.weight"] = np.zeros((64, 128, 1, 1), np.float32)
+    sd["dpn.propagation.cost_encoder.0.weight"] = np.zeros((128, 36), np.float32)
+    sd["dpn.propagation.cost_encoder.0.bias"] = np.zeros((128,), np.float32)
+    sd["dpn.propagation.cost_encoder.2.weight"] = np.zeros((128, 128), np.float32)
+    sd["dpn.propagation.cost_encoder.2.bias"] = np.zeros((128,), np.float32)
+    sd["dpn.propagation.proj.weight"] = np.zeros((128, 159), np.float32)
+    sd["dpn.propagation.norm.weight"] = np.zeros((128,), np.float32)
+    sd["dpn.propagation.norm.bias"] = np.zeros((128,), np.float32)
+    for i in range(5):
+        p = f"dpn.propagation.layers.{i}.nmp"
+        sd[f"{p}.q.weight"] = np.zeros((128, 192), np.float32)
+        sd[f"{p}.q.bias"] = np.zeros((128,), np.float32)
+        sd[f"{p}.k.weight"] = np.zeros((128, 192), np.float32)
+        sd[f"{p}.k.bias"] = np.zeros((128,), np.float32)
+        sd[f"{p}.v.weight"] = np.zeros((128, 128), np.float32)
+        sd[f"{p}.v.bias"] = np.zeros((128,), np.float32)
+        sd[f"{p}.proj.weight"] = np.zeros((128, 128), np.float32)
+        sd[f"{p}.proj.bias"] = np.zeros((128,), np.float32)
+        sd[f"{p}.norm1.weight"] = np.zeros((128,), np.float32)
+        sd[f"{p}.norm1.bias"] = np.zeros((128,), np.float32)
+        sd[f"{p}.norm2.weight"] = np.zeros((128,), np.float32)
+        sd[f"{p}.norm2.bias"] = np.zeros((128,), np.float32)
+        sd[f"{p}.attns.0.get_v.weight"] = np.zeros((64, 1, 3, 3), np.float32)
+        sd[f"{p}.attns.1.get_v.weight"] = np.zeros((64, 1, 3, 3), np.float32)
+        sd[f"{p}.mlp.fc1.weight"] = np.zeros((512, 128), np.float32)
+        sd[f"{p}.mlp.fc1.bias"] = np.zeros((512,), np.float32)
+        sd[f"{p}.mlp.fc2.weight"] = np.zeros((128, 512), np.float32)
+        sd[f"{p}.mlp.fc2.bias"] = np.zeros((128,), np.float32)
+    for i in range(3):
+        sd[f"dpn.prop_head.layers.{i}.weight"] = np.zeros(
+            (1 if i == 2 else 128, 128), np.float32)
+        sd[f"dpn.prop_head.layers.{i}.bias"] = np.zeros(
+            (1 if i == 2 else 128,), np.float32)
+    # inference / refinement stages
+    for stage in ("inference", "refinement"):
+        sd[f"{stage}.ffn.fc1.weight"] = np.zeros((128, 160), np.float32)
+        sd[f"{stage}.ffn.fc1.bias"] = np.zeros((128,), np.float32)
+        sd[f"{stage}.ffn.fc2.weight"] = np.zeros((128, 128), np.float32)
+        sd[f"{stage}.ffn.fc2.bias"] = np.zeros((128,), np.float32)
+        sd[f"{stage}.norm.weight"] = np.zeros((128,), np.float32)
+        sd[f"{stage}.norm.bias"] = np.zeros((128,), np.float32)
+        ws = 6 if stage == "inference" else 4
+        for i in range(5):
+            p = f"{stage}.layers.{i}.nmp"
+            sd[f"{p}.qkv.weight"] = np.zeros((384, 159), np.float32)
+            sd[f"{p}.qkv.bias"] = np.zeros((384,), np.float32)
+            sd[f"{p}.proj.weight"] = np.zeros((128, 128), np.float32)
+            sd[f"{p}.proj.bias"] = np.zeros((128,), np.float32)
+            sd[f"{p}.norm1.weight"] = np.zeros((128,), np.float32)
+            sd[f"{p}.norm1.bias"] = np.zeros((128,), np.float32)
+            sd[f"{p}.norm2.weight"] = np.zeros((128,), np.float32)
+            sd[f"{p}.norm2.bias"] = np.zeros((128,), np.float32)
+            sd[f"{p}.attn.relative_position_enc_table"] = np.zeros(
+                ((2 * ws - 1) ** 2, 384), np.float32)
+            sd[f"{p}.mlp.fc1.weight"] = np.zeros((512, 128), np.float32)
+            sd[f"{p}.mlp.fc1.bias"] = np.zeros((512,), np.float32)
+            sd[f"{p}.mlp.fc2.weight"] = np.zeros((128, 512), np.float32)
+            sd[f"{p}.mlp.fc2.bias"] = np.zeros((128,), np.float32)
+            if stage == "inference":
+                q = f"{stage}.layers.{i}.self_nmp"
+                sd[f"{q}.q.weight"] = np.zeros((128, 159), np.float32)
+                sd[f"{q}.q.bias"] = np.zeros((128,), np.float32)
+                sd[f"{q}.k.weight"] = np.zeros((128, 159), np.float32)
+                sd[f"{q}.k.bias"] = np.zeros((128,), np.float32)
+                sd[f"{q}.v.weight"] = np.zeros((128, 128), np.float32)
+                sd[f"{q}.v.bias"] = np.zeros((128,), np.float32)
+                sd[f"{q}.proj.weight"] = np.zeros((128, 128), np.float32)
+                sd[f"{q}.proj.bias"] = np.zeros((128,), np.float32)
+                sd[f"{q}.norm1.weight"] = np.zeros((128,), np.float32)
+                sd[f"{q}.norm1.bias"] = np.zeros((128,), np.float32)
+    # heads
+    for i in range(3):
+        sd[f"infer_head.layers.{i}.weight"] = np.zeros(
+            (64 if i == 2 else 128, 128), np.float32)
+        sd[f"infer_head.layers.{i}.bias"] = np.zeros(
+            (64 if i == 2 else 128,), np.float32)
+        sd[f"refine_head.layers.{i}.weight"] = np.zeros(
+            (16 if i == 2 else 128, 128), np.float32)
+        sd[f"refine_head.layers.{i}.bias"] = np.zeros(
+            (16 if i == 2 else 128,), np.float32)
+    sd["infer_score_head.weight"] = np.zeros((64, 128), np.float32)
+    sd["infer_score_head.bias"] = np.zeros((64,), np.float32)
+    # buffers that must be skipped
+    sd["device_indicator_tensor"] = np.zeros((0,), np.float32)
+    sd["inference.layers.0.nmp.attn.relative_position_index"] = np.zeros((36, 36))
+    return sd
+
+
+def _flatten(tree, prefix=()):
+    out = {}
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            out.update(_flatten(v, prefix + (k,)))
+        else:
+            out[prefix + (k,)] = v  # leaf: ndarray or ShapeDtypeStruct
+    return out
+
+
+class TestConverter:
+    def test_full_coverage_and_shapes(self):
+        sd = torch_like_state_dict()
+        converted, unmatched = convert_torch_state_dict(sd)
+        assert unmatched == [], unmatched
+
+        cfg = get_cfg()
+        cfg.freeze()
+        model, _ = build_model(cfg)
+        img = jnp.zeros((1, 64, 128, 3), jnp.float32)
+        target = jax.eval_shape(
+            lambda r: model.init(r, img, img, train=False), jax.random.PRNGKey(0))
+        target_flat = {k: v.shape for k, v in _flatten(dict(target)).items()}
+        got_flat = _flatten(converted)
+
+        missing_in_target = [k for k in got_flat if k not in target_flat]
+        assert missing_in_target == [], missing_in_target[:8]
+        for k, v in got_flat.items():
+            assert tuple(v.shape) == tuple(target_flat[k]), (k, v.shape, target_flat[k])
+
+        # everything in the model not covered by this subset is backbone
+        # residual internals (covered by the same rules) — sanity: most of the
+        # tree is covered
+        assert len(got_flat) > 0.7 * len(target_flat)
+
+    def test_layout_transforms(self):
+        sd = {"infer_score_head.weight": np.arange(6, dtype=np.float32).reshape(2, 3)}
+        converted, _ = convert_torch_state_dict(sd)
+        got = converted["params"]["infer_score_head"]["kernel"]
+        np.testing.assert_array_equal(got, sd["infer_score_head.weight"].T)

@@ -1,0 +1,119 @@
+"""Full-model construction/forward/loss smoke tests (tiny shapes, CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from nmrf_tpu.config import get_cfg
+from nmrf_tpu.models import build_model
+
+
+@pytest.fixture(scope="module")
+def small_cfg():
+    cfg = get_cfg()
+    cfg.DPN.MAX_DISP = 64  # D = 8 at 1/8 res
+    cfg.SOLVER.MAX_DISP = 48
+    cfg.freeze()
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def model_and_outputs(small_cfg):
+    model, criterion = build_model(small_cfg)
+    B, H, W = 1, 64, 128
+    rng = np.random.RandomState(0)
+    img1 = jnp.asarray(rng.rand(B, H, W, 3).astype(np.float32) * 255)
+    img2 = jnp.asarray(rng.rand(B, H, W, 3).astype(np.float32) * 255)
+    params = model.init(jax.random.PRNGKey(0), img1, img2, train=False)
+
+    @jax.jit
+    def fwd_train(p, a, b):
+        return model.apply(p, a, b, train=True)
+
+    out = jax.block_until_ready(fwd_train(params, img1, img2))
+    return model, criterion, params, (img1, img2), out
+
+
+class TestNMRFForward:
+    def test_output_shapes(self, model_and_outputs):
+        _, _, _, (img1, _), out = model_and_outputs
+        B, H, W, _ = img1.shape
+        assert out["disp"].shape == (B, H, W)
+        assert out["prob"].shape == (B * H // 8 * W // 8, 8)
+        assert out["proposal"].shape == (B, H // 8 * W // 8, 4)
+        assert out["initial_proposal"].shape == (B, H // 8 * W // 8, 4)
+        assert out["disp_pred"].shape == (B, H, W)
+        assert out["coarse_disp_layers"].shape == (5, B, H, W, 4)
+        assert out["logits_layers"].shape == (5, B, H, W, 4)
+        assert out["disp_pred_layers"].shape == (5, B, H, W)
+
+    def test_outputs_finite_and_nonnegative(self, model_and_outputs):
+        _, _, _, _, out = model_and_outputs
+        for k, v in out.items():
+            assert np.isfinite(np.asarray(v)).all(), k
+        assert (np.asarray(out["disp"]) >= 0).all()
+        prob = np.asarray(out["prob"])
+        np.testing.assert_allclose(prob.sum(-1), 1.0, atol=1e-5)
+
+    def test_param_count_reasonable(self, model_and_outputs):
+        _, _, params, _, _ = model_and_outputs
+        n = sum(np.prod(p.shape) for p in jax.tree_util.tree_leaves(params))
+        # reference NMRF-resnet is a ~6M-param model
+        assert 3e6 < n < 20e6, n
+
+
+class TestCriterion:
+    def test_losses_finite(self, model_and_outputs):
+        _, criterion, _, (img1, _), out = model_and_outputs
+        B, H, W, _ = img1.shape
+        rng = np.random.RandomState(1)
+        disp_gt = jnp.asarray((rng.rand(B, H, W) * 40).astype(np.float32))
+        valid = jnp.asarray(rng.rand(B, H, W) > 0.2)
+        losses = jax.jit(lambda o, t: criterion(o, t))(
+            out, {"disp": disp_gt, "valid": valid})
+        for k, v in losses.items():
+            assert np.isfinite(float(v)), (k, v)
+        assert float(losses["total"]) > 0
+        # all weighted components present
+        for k in ("loss_prop", "init", "loss_disp", "loss_coarse_disp_0",
+                  "loss_disp_5", "epe_train"):
+            assert k in losses, k
+
+    def test_weight_dict_parity(self, small_cfg):
+        """Weight keys/values mirror reference build() (NMRF.py:432-447)."""
+        from nmrf_tpu.models import Criterion
+        c = Criterion(loss_weights=[1.0, 1.0, 1.0, 1.4, 1.4, 1.4, 1.4, 1.6, 2.0, 2.0])
+        wd = c.weight_dict()
+        assert wd["loss_prop"] == 1.0 and wd["init"] == 1.0
+        assert wd["loss_coarse_disp_4"] == 1.4
+        assert wd["loss_disp_8"] == 2.0
+        assert wd["loss_disp"] == 2.0
+        assert "loss_disp_9" not in wd
+        # compat mode replicates the reference defect
+        c2 = Criterion(loss_weights=[1.0] * 10, fix_proposal_weight=False)
+        assert "loss_prop" not in c2.weight_dict()
+        assert c2.weight_dict()["proposal_disp"] == 1.0
+
+
+class TestGradFlow:
+    def test_backward_produces_grads(self, model_and_outputs):
+        model, criterion, params, (img1, img2), _ = model_and_outputs
+        B, H, W, _ = img1.shape
+        rng = np.random.RandomState(2)
+        targets = {
+            "disp": jnp.asarray((rng.rand(B, H, W) * 40).astype(np.float32)),
+            "valid": jnp.asarray(np.ones((B, H, W), bool)),
+        }
+
+        @jax.jit
+        def loss_fn(p):
+            out = model.apply(p, img1, img2, train=True)
+            return criterion(out, targets)["total"]
+
+        g = jax.block_until_ready(jax.grad(loss_fn)(params))
+        leaves = jax.tree_util.tree_leaves(g)
+        assert all(np.isfinite(np.asarray(x)).all() for x in leaves)
+        # most parameters should receive nonzero gradient
+        nz = sum(float(jnp.abs(x).sum()) > 0 for x in leaves)
+        assert nz / len(leaves) > 0.5, f"only {nz}/{len(leaves)} grads nonzero"

@@ -1,0 +1,232 @@
+#!/usr/bin/env python
+"""Training / evaluation CLI.
+
+Behavioral parity target: reference ``main.py`` surface: ``--config-file``,
+``--checkpoint-dir``, ``--eval-only``, trailing ``KEY VALUE`` config
+overrides.  The per-GPU process launcher is replaced by the JAX runtime: one
+process per HOST (``--coordinator/--num-hosts/--host-rank`` for multi-host),
+a single device mesh, and XLA collectives — no spawner needed.
+"""
+
+import argparse
+import json
+import logging
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def get_args_parser():
+    parser = argparse.ArgumentParser(
+        "NMRF-TPU training",
+        formatter_class=argparse.RawDescriptionHelpFormatter)
+    parser.add_argument("--config-file", default="", metavar="FILE")
+    parser.add_argument("--checkpoint-dir", default="checkpoints/sceneflow", type=str)
+    parser.add_argument("--eval-only", action="store_true")
+    # multi-host (replaces --num-gpus/--num-machines/--machine-rank/--dist-url)
+    parser.add_argument("--coordinator", default=None, type=str,
+                        help="coordinator address host:port for multi-host")
+    parser.add_argument("--num-hosts", default=1, type=int)
+    parser.add_argument("--host-rank", default=0, type=int)
+    parser.add_argument("opts", default=None, nargs=argparse.REMAINDER,
+                        help="space-separated KEY VALUE config override pairs")
+    return parser
+
+
+def setup(args):
+    from nmrf_tpu.config import get_cfg
+    from nmrf_tpu.utils import (check_path, collect_env_info, get_sha,
+                                seed_all_rng, setup_logger)
+    import jax
+
+    cfg = get_cfg()
+    if args.config_file:
+        cfg.merge_from_file(args.config_file)
+    cfg.merge_from_list(args.opts or [])
+    cfg.freeze()
+
+    rank = jax.process_index()
+    if rank == 0 and args.checkpoint_dir:
+        check_path(args.checkpoint_dir)
+    logger = setup_logger(args.checkpoint_dir, distributed_rank=rank)
+    logger.info(f"Rank of current process: {rank}. World size: {jax.process_count()}")
+    logger.info("Environment info:\n" + collect_env_info())
+    logger.info(f"git:\n {get_sha()}\n")
+    logger.info("Command line arguments: " + str(args))
+    if rank == 0 and args.checkpoint_dir:
+        with open(os.path.join(args.checkpoint_dir, "config.yaml"), "w") as f:
+            f.write(cfg.dump())
+    seed_all_rng(None if cfg.SEED < 0 else cfg.SEED + rank)
+    return cfg
+
+
+def evaluate(eval_step, params, cfg, logger):
+    """Per-dataset evaluation (reference main.py:302-324)."""
+    import jax.numpy as jnp
+    from nmrf_tpu.data import build_val_dataset
+    from nmrf_tpu.data.frame_io import InputPadder
+    from nmrf_tpu.evalx import DispEvaluator, inference_on_dataset, print_csv_format
+
+    results = {}
+    for idx, name in enumerate(cfg.DATASETS.TEST):
+        dataset = build_val_dataset(cfg, name)
+        evaluator = DispEvaluator(
+            thres=cfg.TEST.EVAL_THRESH[idx],
+            only_valid=cfg.TEST.EVAL_ONLY_VALID[idx],
+            max_disp=cfg.TEST.EVAL_MAX_DISP[idx],
+            eval_prop=cfg.TEST.EVAL_PROP[idx],
+            divis_by=cfg.DATASETS.DIVIS_BY)
+
+        def data_iter():
+            for i in range(len(dataset)):
+                s = dataset[i]
+                yield {k: (v[None] if isinstance(v, np.ndarray) else [v])
+                       for k, v in s.items()}
+
+        bucket = cfg.TPU.EVAL_BUCKET
+
+        def run_model(sample):
+            img1, img2 = sample["img1"][0], sample["img2"][0]
+            padder = InputPadder(img1.shape, mode="proposal",
+                                 divis_by=max(cfg.DATASETS.DIVIS_BY, 1))
+            p1, p2 = padder.pad(img1, img2)
+            # bucket to bound recompiles across differing eval sizes
+            H, W = p1.shape[:2]
+            Hb = -(-H // bucket) * bucket
+            Wb = -(-W // bucket) * bucket
+            pb = [(0, Hb - H), (0, Wb - W), (0, 0)]
+            p1b = np.pad(p1, pb, mode="edge")
+            p2b = np.pad(p2, pb, mode="edge")
+            out = eval_step(params, jnp.asarray(p1b[None]), jnp.asarray(p2b[None]))
+            disp = np.asarray(out["disp"])[:, :H, :W]
+            disp = padder.unpad(disp)
+            res = {"disp": disp}
+            if "proposal" in out:
+                res["proposal"] = np.asarray(out["proposal"])
+            return res
+
+        results[name] = inference_on_dataset(run_model, data_iter(), evaluator,
+                                             total=len(dataset))
+        logger.info(f"Evaluation results for {name} in csv format:")
+        print_csv_format(results[name], logger)
+    if len(results) == 1:
+        results = list(results.values())[0]
+    return results
+
+
+def main():
+    from nmrf_tpu.utils.runtime import configure_jax
+
+    configure_jax()
+    args = get_args_parser().parse_args()
+    if args.num_hosts > 1:
+        import jax
+
+        jax.distributed.initialize(args.coordinator, args.num_hosts, args.host_rank)
+
+    cfg = setup(args)
+    logger = logging.getLogger("nmrf_tpu")
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from nmrf_tpu.data import PrefetchLoader, ShardedBatchSampler, build_train_dataset
+    from nmrf_tpu.models import build_model
+    from nmrf_tpu.parallel import (make_eval_step, make_mesh, make_train_step,
+                                   shard_batch)
+    from nmrf_tpu.solver import build_optimizer
+    from nmrf_tpu.utils import MetricLogger, SmoothedValue
+    from nmrf_tpu.utils.checkpoint import (load_torch_checkpoint,
+                                           restore_checkpoint, save_checkpoint)
+
+    model, criterion = build_model(cfg)
+
+    # init params with tiny dummy shapes (shape-polymorphic modules)
+    rng = jax.random.PRNGKey(max(cfg.SEED, 0))
+    dummy = jnp.zeros((1, 64, 128, 3), jnp.float32)
+    params = jax.jit(lambda r: model.init(r, dummy, dummy, train=False))(rng)
+    num_params = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
+    logger.info("Number of params:" + str(num_params))
+
+    tx, schedule = build_optimizer(params, cfg)
+    opt_state = tx.init(params)
+
+    start_step = 0
+    resume = cfg.SOLVER.RESUME
+    if resume:
+        logger.info("Load checkpoint: %s" % resume)
+        if resume.endswith(".pth"):
+            params, unmatched = load_torch_checkpoint(resume)
+            if unmatched and cfg.SOLVER.STRICT_RESUME:
+                raise ValueError(f"unmatched torch keys: {unmatched[:10]}...")
+        else:
+            (state, start_step) = restore_checkpoint(
+                resume, {"params": params, "opt_state": opt_state, "step": 0})
+            params, opt_state = state["params"], state["opt_state"]
+            start_step = state.get("step", start_step)
+            if cfg.SOLVER.NO_RESUME_OPTIMIZER:
+                opt_state = tx.init(params)
+
+    mesh = make_mesh(cfg.TPU.MESH_DATA, cfg.TPU.MESH_SPATIAL)
+    eval_step = make_eval_step(model)
+
+    if args.eval_only:
+        evaluate(eval_step, params, cfg, logger)
+        return
+
+    train_step = make_train_step(model, criterion, tx)
+    dataset = build_train_dataset(cfg)
+    sampler = ShardedBatchSampler(
+        len(dataset), cfg.SOLVER.IMS_PER_BATCH,
+        rank=jax.process_index(), world_size=jax.process_count(),
+        seed=max(cfg.SEED, 0))
+    loader = PrefetchLoader(dataset, sampler,
+                            num_workers=cfg.DATALOADER.NUM_WORKERS)
+
+    try:
+        from torch.utils.tensorboard import SummaryWriter
+
+        writer = SummaryWriter(args.checkpoint_dir) if jax.process_index() == 0 else None
+    except Exception:
+        writer = None
+
+    total_steps = start_step
+    epoch = 0
+    metric_logger = MetricLogger(delimiter="  ")
+    metric_logger.add_meter("lr", SmoothedValue(window_size=1, fmt="{value:.7f}"))
+    logger.info("Start training")
+
+    while total_steps < cfg.SOLVER.MAX_ITER:
+        header = f"Epoch: [{epoch}]"
+        for batch in metric_logger.log_every(loader, 20, header, logger=logger):
+            device_batch = shard_batch(batch, mesh)
+            params, opt_state, losses = train_step(params, opt_state, device_batch)
+
+            metric_logger.update(lr=float(schedule(total_steps)))
+            metric_logger.update(**{k: float(v) for k, v in losses.items()})
+            if writer is not None:
+                for k, v in losses.items():
+                    writer.add_scalar(f"train/{k}", float(v), total_steps)
+
+            total_steps += 1
+            if (total_steps % cfg.SOLVER.LATEST_CHECKPOINT_PERIOD == 0
+                    or total_steps % cfg.SOLVER.CHECKPOINT_PERIOD == 0
+                    or total_steps == cfg.SOLVER.MAX_ITER):
+                if jax.process_index() == 0:
+                    save_checkpoint(args.checkpoint_dir, total_steps,
+                                    {"params": params, "opt_state": opt_state,
+                                     "step": total_steps})
+            if cfg.TEST.EVAL_PERIOD > 0 and total_steps % cfg.TEST.EVAL_PERIOD == 0:
+                logger.info("Start validation")
+                evaluate(eval_step, params, cfg, logger)
+            if total_steps >= cfg.SOLVER.MAX_ITER:
+                logger.info("Training done")
+                return
+        epoch += 1
+
+
+if __name__ == "__main__":
+    main()
