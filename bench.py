@@ -1,10 +1,17 @@
 #!/usr/bin/env python
-"""Benchmark: KITTI-resolution stereo inference latency on one chip.
+"""Benchmark: KITTI-resolution stereo inference on one chip.
 
 Baseline: the reference reports 90 ms/frame at 1242x375 on an RTX 3090
-(BASELINE.md).  We measure steady-state jitted latency of the full NMRF
+(BASELINE.md).  We measure steady-state device latency of the full NMRF
 forward (resnet backbone, default config) at the same logical resolution,
 padded to divisibility like the reference's InputPadder ('proposal' mode).
+
+Measurement notes (this environment): the device sits behind a relay with
+~30 ms per-call RTT, async dispatch does not serialize executions, and
+``block_until_ready`` is unreliable — so frames are CHAINED (each forward
+consumes a token derived from the previous output, forcing sequential device
+execution) and a single host readback closes the pipeline.  Per-frame time =
+total / K, excluding relay round-trips.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -46,22 +53,24 @@ def main():
     params = jax.jit(lambda r: model.init(r, img1, img2, train=False))(
         jax.random.PRNGKey(0))
 
+    K = 16
+
     @jax.jit
-    def fwd(p, a, b):
-        return model.apply(p, a, b, train=False)["disp"]
+    def chained(p, a, b):
+        def body(tok, _):
+            disp = model.apply(p, a + tok, b, train=False)["disp"]
+            # data dependency: next frame consumes a zero token derived from
+            # this frame's output, forcing sequential execution
+            return disp.mean() * 0.0, ()
 
-    # compile + warmup
-    out = fwd(params, img1, img2)
-    out.block_until_ready()
-    for _ in range(3):
-        fwd(params, img1, img2).block_until_ready()
+        tok, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=K)
+        return tok
 
-    iters = 20
+    # warmup/compile (host readback closes the pipeline)
+    float(chained(params, img1, img2))
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fwd(params, img1, img2)
-    out.block_until_ready()
-    ms = (time.perf_counter() - t0) / iters * 1000.0
+    float(chained(params, img1, img2))
+    ms = (time.perf_counter() - t0) / K * 1000.0
 
     print(json.dumps({
         "metric": "kitti_1242x375_latency",
