@@ -32,6 +32,7 @@ def build_model(cfg):
         dropout=cfg.NMP.DROPOUT,
         normalize_before=cfg.NMP.NORMALIZE_BEFORE,
         aux_loss=cfg.SOLVER.AUX_LOSS,
+        compute_dtype=cfg.TPU.COMPUTE_DTYPE,
     )
     criterion = Criterion(
         max_disp=cfg.SOLVER.MAX_DISP,

@@ -7,13 +7,19 @@ Outputs a [1/4-res, 1/8-res] feature pyramid (channel-last).
 The Swin-T + DeformNeck backbone lives in ``swin.py`` / ``adaptor.py``.
 """
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 from .layers import Conv, instance_norm_2d
+
+
+def _in(x, dtype):
+    """float32 instance norm, back to compute dtype."""
+    y = instance_norm_2d(x.astype(jnp.float32))
+    return y.astype(dtype) if dtype is not None else y
 
 
 class ResidualBlock(nn.Module):
@@ -23,6 +29,7 @@ class ResidualBlock(nn.Module):
     planes: int
     stride: int = 1
     dilation: int = 1
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
@@ -30,15 +37,16 @@ class ResidualBlock(nn.Module):
         identity = x
         y = Conv(self.planes, (3, 3), strides=self.stride,
                  kernel_dilation=self.dilation, padding=self.dilation,
-                 use_bias=False, name="conv1")(x)
-        y = jax.nn.relu(instance_norm_2d(y))
+                 use_bias=False, dtype=self.dtype, name="conv1")(x)
+        y = jax.nn.relu(_in(y, self.dtype))
         y = Conv(self.planes, (3, 3), kernel_dilation=self.dilation,
-                 padding=self.dilation, use_bias=False, name="conv2")(y)
-        y = jax.nn.relu(instance_norm_2d(y))
+                 padding=self.dilation, use_bias=False, dtype=self.dtype,
+                 name="conv2")(y)
+        y = jax.nn.relu(_in(y, self.dtype))
         if not (self.stride == 1 and in_planes == self.planes):
             identity = Conv(self.planes, (1, 1), strides=self.stride,
-                            name="downsample")(identity)
-            identity = instance_norm_2d(identity)
+                            dtype=self.dtype, name="downsample")(identity)
+            identity = _in(identity, self.dtype)
         return jax.nn.relu(y + identity)
 
 
@@ -50,21 +58,25 @@ class Backbone(nn.Module):
     """
 
     output_dim: int = 256
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
         x = 2.0 * (x / 255.0) - 1.0
-        x = Conv(64, (7, 7), strides=2, padding=3, use_bias=False, name="conv1")(x)
-        x = jax.nn.relu(instance_norm_2d(x))
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+        x = Conv(64, (7, 7), strides=2, padding=3, use_bias=False,
+                 dtype=self.dtype, name="conv1")(x)
+        x = jax.nn.relu(_in(x, self.dtype))
         # layer1: 64 @ 1/2
-        x = ResidualBlock(64, name="layer1_0")(x)
-        x = ResidualBlock(64, name="layer1_1")(x)
+        x = ResidualBlock(64, dtype=self.dtype, name="layer1_0")(x)
+        x = ResidualBlock(64, dtype=self.dtype, name="layer1_1")(x)
         # layer2: 96 @ 1/4
-        x = ResidualBlock(96, stride=2, name="layer2_0")(x)
-        x = ResidualBlock(96, name="layer2_1")(x)
+        x = ResidualBlock(96, stride=2, dtype=self.dtype, name="layer2_0")(x)
+        x = ResidualBlock(96, dtype=self.dtype, name="layer2_1")(x)
         # layer3: 128 @ 1/4
-        x = ResidualBlock(128, name="layer3_0")(x)
-        x = ResidualBlock(128, name="layer3_1")(x)
-        x = Conv(self.output_dim, (1, 1), name="conv2")(x)
+        x = ResidualBlock(128, dtype=self.dtype, name="layer3_0")(x)
+        x = ResidualBlock(128, dtype=self.dtype, name="layer3_1")(x)
+        x = Conv(self.output_dim, (1, 1), dtype=self.dtype, name="conv2")(x)
         pooled = nn.avg_pool(x, (2, 2), strides=(2, 2))
         return [x, pooled]  # high to low res

@@ -7,6 +7,8 @@ Behavioral parity target: reference ``nmrf/models/DPN.py:11-134``:
      zero-init MLP head -> residual offsets; labels = relu(offsets + seeds).
 """
 
+from typing import Any
+
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
@@ -32,6 +34,7 @@ class DPN(nn.Module):
     drop_path: float = 0.0
     dropout: float = 0.0
     normalize_before: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, cost_volume, fmap1_list, deterministic: bool = True):
@@ -51,17 +54,18 @@ class DPN(nn.Module):
         # ---- step 1: disparity modals as label seeds ---- #
         # Conv1d stack along D (NWC: [M, D, G])
         x = flat.transpose(0, 2, 1)
-        x = Conv(8, (5,), padding=2, name="mlp_0")(x)
+        x = Conv(8, (5,), padding=2, dtype=self.dtype, name="mlp_0")(x)
         x = jax.nn.relu(x)
-        x = Conv(16, (5,), padding=2, name="mlp_2")(x)
+        x = Conv(16, (5,), padding=2, dtype=self.dtype, name="mlp_2")(x)
         x = jax.nn.relu(x)
-        x = Conv(1, (5,), padding=2, name="mlp_4")(x)
-        cost = x.squeeze(-1)  # [M, D]
+        x = Conv(1, (5,), padding=2, dtype=self.dtype, name="mlp_4")(x)
+        cost = x.squeeze(-1).astype(jnp.float32)  # [M, D]
         prob = jax.nn.softmax(cost, axis=-1)
         label_seeds = nms_topk_seeds(prob, self.num_proposals)  # [M, N]
 
         # ---- step 2: label seed propagation ---- #
-        context = ConvINReluConv(128, self.context_dim, name="proj")(fmap1_list[0])
+        context = ConvINReluConv(128, self.context_dim, dtype=self.dtype,
+                                 name="proj")(fmap1_list[0])
         memory, seeds_f = Propagation(
             embed_dim=self.prop_embed_dim,
             cost_group=self.cost_group,
@@ -77,11 +81,12 @@ class DPN(nn.Module):
             dropout=self.dropout,
             normalize_before=self.normalize_before,
             return_intermediate=False,
+            dtype=self.dtype,
             name="propagation",
         )(flat, label_seeds, context, deterministic)
         # memory: [L, B, H, W, N, C]
         offsets = MLPBlock(self.prop_embed_dim, 1, 3, zero_init_last=True,
-                           name="prop_head")(memory).squeeze(-1)
+                           name="prop_head")(memory.astype(jnp.float32)).squeeze(-1)
         L = offsets.shape[0]
         offsets = offsets.reshape(L, B * H * W, self.num_proposals)
         labels = jax.nn.relu(offsets + seeds_f[None])

@@ -103,13 +103,14 @@ class Mlp(nn.Module):
     out_features: int
     act: Callable = gelu_exact
     drop: float = 0.0
+    dtype: Any = None  # computation dtype (None = promote inputs)
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        x = Dense(self.hidden_features, name="fc1")(x)
+        x = Dense(self.hidden_features, dtype=self.dtype, name="fc1")(x)
         x = self.act(x)
         x = nn.Dropout(self.drop, deterministic=deterministic)(x)
-        x = Dense(self.out_features, name="fc2")(x)
+        x = Dense(self.out_features, dtype=self.dtype, name="fc2")(x)
         x = nn.Dropout(self.drop, deterministic=deterministic)(x)
         return x
 
@@ -122,6 +123,7 @@ class MLPBlock(nn.Module):
     num_layers: int
     # zero-init the final layer (used by DPN.prop_head, reference DPN.py:68-69)
     zero_init_last: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
@@ -129,7 +131,7 @@ class MLPBlock(nn.Module):
         for i, d in enumerate(dims):
             last = i == self.num_layers - 1
             init = nn.initializers.zeros if (last and self.zero_init_last) else trunc_normal_init
-            x = Dense(d, kernel_init=init, name=f"layers_{i}")(x)
+            x = Dense(d, kernel_init=init, dtype=self.dtype, name=f"layers_{i}")(x)
             if not last:
                 x = jax.nn.relu(x)
         return x
@@ -139,16 +141,21 @@ class ConvINReluConv(nn.Module):
     """Conv3x3(no bias) -> InstanceNorm -> ReLU -> Conv1x1(no bias).
 
     The projection stack used for concatconv/gw/context (``NMRF.py:56-65``,
-    ``DPN.py:45-49``).
+    ``DPN.py:45-49``).  Instance-norm statistics stay in float32.
     """
 
     mid_channels: int
     out_channels: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
-        x = Conv(self.mid_channels, (3, 3), padding=1, use_bias=False, name="conv1")(x)
-        x = instance_norm_2d(x)
+        x = Conv(self.mid_channels, (3, 3), padding=1, use_bias=False,
+                 dtype=self.dtype, name="conv1")(x)
+        x = instance_norm_2d(x.astype(jnp.float32))
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         x = jax.nn.relu(x)
-        x = Conv(self.out_channels, (1, 1), use_bias=False, name="conv2")(x)
+        x = Conv(self.out_channels, (1, 1), use_bias=False, dtype=self.dtype,
+                 name="conv2")(x)
         return x

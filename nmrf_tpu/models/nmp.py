@@ -14,7 +14,7 @@ Behavioral parity targets are cited per class.
 
 import math
 from functools import lru_cache
-from typing import Callable, Optional, Sequence, Tuple
+from typing import Any, Callable, Optional, Sequence, Tuple
 
 import numpy as np
 import jax
@@ -93,6 +93,7 @@ class BasicAttention(nn.Module):
     proj_drop: float = 0.0
     drop_path: float = 0.0
     normalize_before: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, label_rep, abs_encoding, deterministic: bool = True):
@@ -100,29 +101,34 @@ class BasicAttention(nn.Module):
         h = self.num_heads
         hd = self.dim // h
         scale = hd ** -0.5
-        norm1 = LayerNorm(name="norm1")
+        norm1 = LayerNorm(dtype=jnp.float32, name="norm1")
 
         shortcut = label_rep
         x = norm1(label_rep) if self.normalize_before else label_rep
-        qk_in = jnp.concatenate([x, abs_encoding], axis=-1)
-        q = Dense(self.dim, name="q")(qk_in)
-        k = Dense(self.dim, name="k")(qk_in)
-        v = Dense(self.dim, name="v")(x)
+        if self.dtype is not None:
+            abs_encoding = abs_encoding.astype(self.dtype)
+        qk_in = jnp.concatenate([x.astype(abs_encoding.dtype), abs_encoding], axis=-1)
+        q = Dense(self.dim, dtype=self.dtype, name="q")(qk_in)
+        k = Dense(self.dim, dtype=self.dtype, name="k")(qk_in)
+        v = Dense(self.dim, dtype=self.dtype, name="v")(x)
 
         def heads(t):
             return t.reshape(*t.shape[:-1], h, hd)
 
         q, k, v = heads(q), heads(k), heads(v)  # [M,N,h,d]
-        attn = jnp.einsum("mihd,mjhd->mhij", q, k) * scale
+        attn = jnp.einsum("mihd,mjhd->mhij", q, k,
+                          preferred_element_type=jnp.float32) * scale
         attn = jax.nn.softmax(attn, axis=-1)
         attn = nn.Dropout(self.attn_drop, deterministic=deterministic)(attn)
-        out = jnp.einsum("mhij,mjhd->mihd", attn, v)
+        out = jnp.einsum("mhij,mjhd->mihd", attn.astype(v.dtype), v)
         out = out.reshape(*label_rep.shape[:-1], self.dim)
-        out = Dense(self.dim, name="proj")(out)
+        out = Dense(self.dim, dtype=self.dtype, name="proj")(out)
         out = nn.Dropout(self.proj_drop, deterministic=deterministic)(out)
         x = shortcut + out
         if not self.normalize_before:
             x = norm1(x)
+            if self.dtype is not None:
+                x = x.astype(self.dtype)
         return x
 
 
@@ -137,6 +143,7 @@ class WindowAttention(nn.Module):
     shift_size: int
     num_heads: int
     attn_drop: float = 0.0
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, qkv, attn_mask, deterministic: bool = True, shift=None):
@@ -168,15 +175,30 @@ class WindowAttention(nn.Module):
         x = x.reshape(3, B * nwh * nww, h, wh * ww * N, hd)
         q, k, v = x[0], x[1], x[2]
 
-        # positional contributions: rpe [T0, T0, h, 3hd] repeated over candidates
-        rpe = table[rel_index.reshape(-1)].reshape(wh * ww, wh * ww, h, 3 * hd)
-        rpe = jnp.repeat(jnp.repeat(rpe, N, axis=0), N, axis=1)  # [T, T, h, 3hd]
+        # Positional contributions.  The tables index PIXELS (wh*ww), not
+        # tokens: the candidate axis N never enters them (reference repeats
+        # the table over N, NMP.py:259).  Computing the positional terms at
+        # pixel granularity and broadcasting over N does N^2 = 16x less work
+        # and avoids materializing/permuting [T, T, h, c] tensors.
+        P = wh * ww
+        rpe = table[rel_index.reshape(-1)].reshape(P, P, h, 3 * hd)
+        if self.dtype is not None:
+            rpe = rpe.astype(self.dtype)
         q_embed, k_embed, v_embed = jnp.split(rpe, 3, axis=-1)
 
+        Bw = q.shape[0]
         q = q * scale
-        attn = jnp.einsum("bhic,bhjc->bhij", q, k)
-        attn = attn + jnp.einsum("bhic,ijhc->bhij", q, k_embed)
-        attn = attn + jnp.einsum("bhjc,ijhc->bhij", k, q_embed * scale)
+        f32 = dict(preferred_element_type=jnp.float32)
+        attn = jnp.einsum("bhic,bhjc->bhij", q, k, **f32)
+        q5 = q.reshape(Bw, h, P, N, hd)
+        k5 = k.reshape(Bw, h, P, N, hd)
+        # qr[i=(p,n), j=(s,m)] = q_i . k_embed[p, s]  (independent of m)
+        qr = jnp.einsum("bhpnc,pshc->bhpns", q5, k_embed, **f32)
+        # kr[i=(p,n), j=(s,m)] = k_j . q_embed[p, s]  (independent of n)
+        kr = jnp.einsum("bhsmc,pshc->bhpsm", k5, q_embed * scale, **f32)
+        attn = attn.reshape(Bw, h, P, N, P, N)
+        attn = attn + qr[:, :, :, :, :, None] + kr[:, :, :, None, :, :]
+        attn = attn.reshape(Bw, h, P * N, P * N)
 
         if attn_mask is not None:
             nW = nwh * nww  # attn_mask broadcasts when it has leading dim 1
@@ -186,9 +208,15 @@ class WindowAttention(nn.Module):
 
         attn = jax.nn.softmax(attn, axis=-1)
         attn = nn.Dropout(self.attn_drop, deterministic=deterministic)(attn)
+        attn = attn.astype(v.dtype)
 
         out = jnp.einsum("bhij,bhjc->bhic", attn, v)
-        out = out + jnp.einsum("bhij,ijhc->bhic", attn, v_embed)
+        # out_pos[i=(p,n), c] = sum_j attn[i, j] ve[p, s_j] — sum over the
+        # candidate axis of j first, then contract pixels
+        attn_s = attn.reshape(Bw, h, P * N, P, N).sum(-1)
+        out = out + jnp.einsum("bhpns,pshc->bhpnc",
+                               attn_s.reshape(Bw, h, P, N, P),
+                               v_embed).reshape(Bw, h, P * N, hd)
 
         # un-partition
         out = out.reshape(B, nwh, nww, h, wh, ww, N, hd)
@@ -223,29 +251,32 @@ class SwinNMP(nn.Module):
     drop_path: float = 0.0
     act: Callable = gelu_exact
     normalize_before: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, label_rep, abs_encoding, attn_mask,
                  deterministic: bool = True, shift=None, drop_path_rate=None):
         """label_rep: [B, H, W, N, C]; abs_encoding: [B, H, W, N, C'].
         shift/drop_path_rate: traced overrides for nn.scan layer stacks."""
-        norm1 = LayerNorm(name="norm1")
-        norm2 = LayerNorm(name="norm2")
+        norm1 = LayerNorm(dtype=jnp.float32, name="norm1")
+        norm2 = LayerNorm(dtype=jnp.float32, name="norm2")
         drop_path = DropPath(self.drop_path)
 
         shortcut = label_rep
         x = norm1(label_rep) if self.normalize_before else label_rep
-        x = jnp.concatenate([x, abs_encoding], axis=-1)
-        qkv = Dense(3 * self.dim, name="qkv")(x)
+        if self.dtype is not None:
+            abs_encoding = abs_encoding.astype(self.dtype)
+        x = jnp.concatenate([x.astype(abs_encoding.dtype), abs_encoding], axis=-1)
+        qkv = Dense(3 * self.dim, dtype=self.dtype, name="qkv")(x)
         msg = WindowAttention(
             self.dim, (self.window_size, self.window_size), self.shift_size,
-            self.num_heads, self.attn_drop, name="attn",
+            self.num_heads, self.attn_drop, dtype=self.dtype, name="attn",
         )(qkv, attn_mask, deterministic, shift=shift)
-        msg = Dense(self.dim, name="proj")(msg)
+        msg = Dense(self.dim, dtype=self.dtype, name="proj")(msg)
         msg = nn.Dropout(self.drop, deterministic=deterministic)(msg)
         x = shortcut + drop_path(msg, deterministic, rate=drop_path_rate)
         mlp = Mlp(int(self.dim * self.mlp_ratio), self.dim, act=self.act,
-                  drop=self.drop, name="mlp")
+                  drop=self.drop, dtype=self.dtype, name="mlp")
         if self.normalize_before:
             x = x + drop_path(mlp(norm2(x), deterministic), deterministic,
                               rate=drop_path_rate)
@@ -254,6 +285,8 @@ class SwinNMP(nn.Module):
             x = x + drop_path(mlp(x, deterministic), deterministic,
                               rate=drop_path_rate)
             x = norm2(x)
+            if self.dtype is not None:
+                x = x.astype(self.dtype)
         return x
 
 
@@ -272,6 +305,7 @@ class CSWinAttention(nn.Module):
     split_size: int = 7
     num_heads: int = 8
     attn_drop: float = 0.0
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, query, key, value, deterministic: bool = True):
@@ -308,6 +342,8 @@ class CSWinAttention(nn.Module):
         # depthwise 3x3 conv positional term on stripe-local planes
         kernel = self.param("get_v_kernel", _torch_conv_default_init,
                             (3, 3, 1, self.dim))  # HWIO, depthwise
+        if self.dtype is not None:
+            kernel = kernel.astype(self.dtype)
         vs = v.reshape(B, ni, H_sp, nj, W_sp, N, self.dim)
         vs = vs.transpose(0, 1, 3, 5, 2, 4, 6).reshape(B * ni * nj * N, H_sp, W_sp, self.dim)
         rpe_full = jax.lax.conv_general_dilated(
@@ -330,12 +366,13 @@ class CSWinAttention(nn.Module):
         vv = vv.transpose(0, 2, 3, 1, 4).reshape(
             B * ni * nj, H_sp * W_sp * N, h, hd).transpose(0, 2, 1, 3)
 
-        attn = jnp.einsum("bhic,bhjc->bhij", qs * scale, ks)
+        attn = jnp.einsum("bhic,bhjc->bhij", qs * scale, ks,
+                          preferred_element_type=jnp.float32)
         mask = jnp.asarray(window_attn_mask((H_sp, W_sp, N)))
         attn = attn + mask[None, None]
         attn = jax.nn.softmax(attn, axis=-1)
         attn = nn.Dropout(self.attn_drop, deterministic=deterministic)(attn)
-        out = jnp.einsum("bhij,bhjc->bhic", attn, vv) + rpe
+        out = jnp.einsum("bhij,bhjc->bhic", attn.astype(vv.dtype), vv) + rpe
 
         out = out.transpose(0, 2, 1, 3).reshape(B, ni, nj, H_sp, W_sp, N, self.dim)
         out = out.transpose(0, 1, 3, 2, 4, 5, 6).reshape(B, Hp, Wp, N, self.dim)
@@ -370,18 +407,23 @@ class CSWinNMP(nn.Module):
     dropout: float = 0.0
     act: Callable = gelu_exact
     normalize_before: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, tgt, context, deterministic: bool = True,
                  drop_path_rate=None):
         """tgt: [B, H, W, N, C]; context: [B, H, W, N, C_ctx] or None."""
         B, H, W, N, C = tgt.shape
-        norm1 = LayerNorm(name="norm1")
-        norm2 = LayerNorm(name="norm2")
+        norm1 = LayerNorm(dtype=jnp.float32, name="norm1")
+        norm2 = LayerNorm(dtype=jnp.float32, name="norm2")
         drop_path = DropPath(self.drop_path)
 
         shortcut = tgt
         x = norm1(tgt) if self.normalize_before else tgt
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            if context is not None:
+                context = context.astype(self.dtype)
         qk = jnp.concatenate([x, context], axis=-1) if context is not None else x
         if self.v_dim > self.dim:
             pe = fourier_grid_embed((H, W), self.v_dim - self.dim, dtype=x.dtype)
@@ -389,25 +431,27 @@ class CSWinNMP(nn.Module):
             v_in = jnp.concatenate([x, pe], axis=-1)
         else:
             v_in = x
-        query = Dense(self.dim, name="q")(qk)
-        key = Dense(self.dim, name="k")(qk)
-        value = Dense(self.dim, name="v")(v_in)
+        query = Dense(self.dim, dtype=self.dtype, name="q")(qk)
+        key = Dense(self.dim, dtype=self.dtype, name="k")(qk)
+        value = Dense(self.dim, dtype=self.dtype, name="v")(v_in)
 
         half = self.dim // 2
         x1 = CSWinAttention(half, idx=0, split_size=self.split_size,
                             num_heads=self.num_heads // 2,
-                            attn_drop=self.attn_drop, name="attns_0")(
+                            attn_drop=self.attn_drop, dtype=self.dtype,
+                            name="attns_0")(
             query[..., :half], key[..., :half], value[..., :half], deterministic)
         x2 = CSWinAttention(half, idx=1, split_size=self.split_size,
                             num_heads=self.num_heads // 2,
-                            attn_drop=self.attn_drop, name="attns_1")(
+                            attn_drop=self.attn_drop, dtype=self.dtype,
+                            name="attns_1")(
             query[..., half:], key[..., half:], value[..., half:], deterministic)
         msg = jnp.concatenate([x1, x2], axis=-1)
-        msg = Dense(self.dim, name="proj")(msg)
+        msg = Dense(self.dim, dtype=self.dtype, name="proj")(msg)
         msg = nn.Dropout(self.proj_drop, deterministic=deterministic)(msg)
         x = shortcut + drop_path(msg, deterministic, rate=drop_path_rate)
         mlp = Mlp(int(self.dim * self.mlp_ratio), self.dim, act=self.act,
-                  drop=self.dropout, name="mlp")
+                  drop=self.dropout, dtype=self.dtype, name="mlp")
         if self.normalize_before:
             x = x + drop_path(mlp(norm2(x), deterministic), deterministic,
                               rate=drop_path_rate)
@@ -416,4 +460,6 @@ class CSWinNMP(nn.Module):
             x = x + drop_path(mlp(x, deterministic), deterministic,
                               rate=drop_path_rate)
             x = norm2(x)
+            if self.dtype is not None:
+                x = x.astype(self.dtype)
         return x

@@ -36,12 +36,23 @@ def _subpatch_to_full(x, patch):
 
 def _lower_median_pool(x, k):
     """Block-pool [B, H, W] by k x k lower median (torch.median semantics:
-    the lower of the two middle values, reference NMRF.py:230-231)."""
+    the lower of the two middle values, reference NMRF.py:230-231).
+
+    Uses rank-by-counting instead of a full sort: for each of the k*k values,
+    count how many strictly smaller values (with index tie-break) precede it
+    and select rank (k*k-1)//2 — pure VPU compare/sum work, ~4x faster than
+    the sort fusion XLA emits at full resolution."""
     B, H, W = x.shape
-    x = x.reshape(B, H // k, k, W // k, k).transpose(0, 1, 3, 2, 4)
-    x = x.reshape(B, H // k, W // k, k * k)
-    x = jnp.sort(x, axis=-1)
-    return x[..., (k * k - 1) // 2]
+    kk = k * k
+    v = x.reshape(B, H // k, k, W // k, k).transpose(0, 1, 3, 2, 4)
+    v = v.reshape(B, H // k, W // k, kk)
+    lt = v[..., :, None] > v[..., None, :]  # [.., i, j]: v_j < v_i
+    eq = v[..., :, None] == v[..., None, :]
+    idx_lt = jnp.tril(jnp.ones((kk, kk), bool), -1)  # j < i tie-break
+    rank = (lt | (eq & idx_lt)).sum(-1)  # exact rank of each element
+    target = (kk - 1) // 2
+    sel = (rank == target).astype(v.dtype)
+    return (v * sel).sum(-1)
 
 
 class NMRF(nn.Module):
@@ -75,10 +86,18 @@ class NMRF(nn.Module):
     normalize_before: bool = True
     activation: str = "gelu"
     aux_loss: bool = True
+    # computation dtype for the hot path ("float32" parity / "bfloat16" speed);
+    # norms, softmax, probabilities, and all disparity arithmetic stay float32
+    compute_dtype: str = "float32"
+
+    @property
+    def dtype(self):
+        return None if self.compute_dtype == "float32" else jnp.dtype(self.compute_dtype)
 
     def setup(self):
         if self.backbone_type == "resnet":
-            self.image_encoder = Backbone(self.backbone_out_channels, name="backbone")
+            self.image_encoder = Backbone(self.backbone_out_channels,
+                                          dtype=self.dtype, name="backbone")
         elif self.backbone_type == "swin":
             from .adaptor import SwinAdaptor
             self.image_encoder = SwinAdaptor(
@@ -87,8 +106,8 @@ class NMRF(nn.Module):
         else:
             raise ValueError(f"unknown backbone {self.backbone_type}")
 
-        self.concatconv = ConvINReluConv(128, 64, name="concatconv")
-        self.gw = ConvINReluConv(128, 256, name="gw")
+        self.concatconv = ConvINReluConv(128, 64, dtype=self.dtype, name="concatconv")
+        self.gw = ConvINReluConv(128, 256, dtype=self.dtype, name="gw")
 
         self.dpn = DPN(
             cost_group=self.cost_group,
@@ -106,6 +125,7 @@ class NMRF(nn.Module):
             drop_path=self.drop_path,
             dropout=self.dropout,
             normalize_before=self.normalize_before,
+            dtype=self.dtype,
             name="dpn")
 
         self.inference = Inference(
@@ -115,7 +135,8 @@ class NMRF(nn.Module):
             activation=self.activation, attn_drop=self.attn_drop,
             proj_drop=self.proj_drop, drop_path=self.drop_path,
             dropout=self.dropout, normalize_before=self.normalize_before,
-            return_intermediate=self.return_intermediate, name="inference")
+            return_intermediate=self.return_intermediate, dtype=self.dtype,
+            name="inference")
         self.infer_head = MLPBlock(self.infer_embed_dim, 8 * 8, 3, name="infer_head")
         self.infer_score_head = Dense(8 * 8, name="infer_score_head")
 
@@ -127,7 +148,8 @@ class NMRF(nn.Module):
                 activation=self.activation, attn_drop=self.attn_drop,
                 proj_drop=self.proj_drop, drop_path=self.drop_path,
                 dropout=self.dropout, normalize_before=self.normalize_before,
-                return_intermediate=self.return_intermediate, name="refinement")
+                return_intermediate=self.return_intermediate, dtype=self.dtype,
+                name="refinement")
             self.refine_head = MLPBlock(self.infer_embed_dim, 4 * 4, 3, name="refine_head")
 
     def extract_feature(self, img1, img2):

@@ -13,7 +13,7 @@ intermediate layer outputs are stacked on a leading layer axis for the aux
 losses.  Window padding is static (trace-time), masks are numpy constants.
 """
 
-from typing import Optional
+from typing import Any, Optional
 
 import numpy as np
 import jax
@@ -54,6 +54,7 @@ class PropagationLayer(nn.Module):
     proj_drop: float = 0.0
     dropout: float = 0.0
     normalize_before: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, tgt, context, deterministic: bool = True,
@@ -70,6 +71,7 @@ class PropagationLayer(nn.Module):
             dropout=self.dropout,
             act=get_activation(self.activation),
             normalize_before=self.normalize_before,
+            dtype=self.dtype,
             name="nmp",
         )(tgt, context, deterministic, drop_path_rate=drop_path_rate)
 
@@ -110,6 +112,7 @@ class Propagation(nn.Module):
     dropout: float = 0.0
     normalize_before: bool = False
     return_intermediate: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, cost_volume, label_seed, context, deterministic: bool = True):
@@ -122,13 +125,15 @@ class Propagation(nn.Module):
         N = label_seed.shape[-1]
 
         cost = sample_cost(cost_volume, label_seed)  # [M, N, G*9]
-        x = Dense(self.embed_dim, name="cost_encoder_0")(cost)
+        x = Dense(self.embed_dim, dtype=self.dtype, name="cost_encoder_0")(cost)
         x = jax.nn.gelu(x, approximate=False)
-        cost_feat = Dense(self.embed_dim, name="cost_encoder_2")(x)
-        seeds_f = label_seed.astype(cost_feat.dtype)
+        cost_feat = Dense(self.embed_dim, dtype=self.dtype, name="cost_encoder_2")(x)
+        seeds_f = label_seed.astype(jnp.float32)
         disp_enc = fourier_coord_embed(seeds_f[..., None], 15, normalizer=3.14 / 64)
-        embed = Dense(self.embed_dim, use_bias=False, name="proj")(
-            jnp.concatenate([cost_feat, disp_enc], axis=-1))
+        embed = Dense(self.embed_dim, use_bias=False, dtype=self.dtype, name="proj")(
+            jnp.concatenate([cost_feat.astype(jnp.float32), disp_enc], axis=-1)
+            if self.dtype is None else
+            jnp.concatenate([cost_feat, disp_enc.astype(self.dtype)], axis=-1))
         embed = embed.reshape(B, H, W, N, self.embed_dim)
 
         ctx = jnp.broadcast_to(context[:, :, :, None, :],
@@ -143,6 +148,7 @@ class Propagation(nn.Module):
             ("attn_drop", self.attn_drop), ("proj_drop", self.proj_drop),
             ("dropout", self.dropout),
             ("normalize_before", self.normalize_before),
+            ("dtype", self.dtype),
         )
         ScanStack = nn.scan(
             _PropScanBody,
@@ -177,6 +183,7 @@ class InferenceLayer(nn.Module):
     proj_drop: float = 0.0
     dropout: float = 0.0
     normalize_before: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, tgt, abs_encoding, attn_mask, deterministic: bool = True,
@@ -187,13 +194,14 @@ class InferenceLayer(nn.Module):
         enc = abs_encoding.reshape(B * H * W, N, abs_encoding.shape[-1])
         x = BasicAttention(
             self.embed_dim, self.n_heads, self.attn_drop, self.proj_drop,
-            0.0, self.normalize_before, name="self_nmp",
+            0.0, self.normalize_before, dtype=self.dtype, name="self_nmp",
         )(x, enc, deterministic)
         x = x.reshape(B, H, W, N, C)
         x = SwinNMP(
             self.embed_dim, self.n_heads, self.window_size, 0,
             self.mlp_ratio, self.dropout, self.attn_drop, 0.0,
-            get_activation(self.activation), self.normalize_before, name="nmp",
+            get_activation(self.activation), self.normalize_before,
+            dtype=self.dtype, name="nmp",
         )(x, abs_encoding, attn_mask, deterministic, shift=shift,
           drop_path_rate=drop_path_rate)
         return x
@@ -211,6 +219,7 @@ class RefinementLayer(nn.Module):
     proj_drop: float = 0.0
     dropout: float = 0.0
     normalize_before: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, tgt, abs_encoding, attn_mask, deterministic: bool = True,
@@ -218,7 +227,8 @@ class RefinementLayer(nn.Module):
         return SwinNMP(
             self.embed_dim, self.n_heads, self.window_size, 0,
             self.mlp_ratio, self.dropout, self.attn_drop, 0.0,
-            get_activation(self.activation), self.normalize_before, name="nmp",
+            get_activation(self.activation), self.normalize_before,
+            dtype=self.dtype, name="nmp",
         )(tgt, abs_encoding, attn_mask, deterministic, shift=shift,
           drop_path_rate=drop_path_rate)
 
@@ -259,6 +269,7 @@ class _NMPStage(nn.Module):
     dropout: float = 0.0
     normalize_before: bool = False
     return_intermediate: bool = False
+    dtype: Any = None
 
     # refinement=False: candidate mask + normalizer pi/64 (Inference)
     # refinement=True:  no candidate mask + normalizer pi/128 (Refinement)
@@ -280,8 +291,8 @@ class _NMPStage(nn.Module):
         warped = disp_warp(fmap2, labels)  # [B,H,W,N,C]
         f1 = jnp.broadcast_to(fmap1[:, :, :, None, :],
                               (B, H, W, N, fmap1.shape[-1]))
-        feat = jnp.concatenate([f1, warped, corr], axis=-1)
-        return Mlp(self.dim, self.dim, name="ffn")(feat)
+        feat = jnp.concatenate([f1, warped, corr.astype(f1.dtype)], axis=-1)
+        return Mlp(self.dim, self.dim, dtype=self.dtype, name="ffn")(feat)
 
     def _run_layers(self, layer_cls, label_rep, abs_encoding, deterministic):
         """Window-pad, build masks, scan the layer stack, crop.
@@ -329,6 +340,7 @@ class _NMPStage(nn.Module):
             ("activation", self.activation), ("attn_drop", self.attn_drop),
             ("proj_drop", self.proj_drop), ("dropout", self.dropout),
             ("normalize_before", self.normalize_before),
+            ("dtype", self.dtype),
         )
         ScanStack = nn.scan(
             _StageScanBody,
@@ -348,7 +360,9 @@ class _NMPStage(nn.Module):
         def crop(t):
             return t[..., tp:tp + H, lp:lp + W, :, :]
 
-        if self.return_intermediate:
+        # intermediates are only needed for the training aux losses
+        # (reference NMP.py:777: return_intermediate and self.training)
+        if self.return_intermediate and not deterministic:
             return norm(crop(ys))  # [L, B, H, W, N, C]
         return norm(crop(x))[None]
 
@@ -360,6 +374,7 @@ class Inference(_NMPStage):
     def __call__(self, labels, fmap1, fmap2, fmap1_gw, fmap2_gw,
                  deterministic: bool = True, collect_intermediate: bool = False):
         """labels: [B, H, W, N] candidate disparities. -> [L, B, H, W, N, C]."""
+        labels = labels.astype(jnp.float32)
         label_rep = self._embed(labels, fmap1, fmap2, fmap1_gw, fmap2_gw)
         abs_enc = fourier_coord_embed(labels[..., None], 15, normalizer=3.14 / 64)
         return self._run_layers(InferenceLayer, label_rep, abs_enc, deterministic)
@@ -375,7 +390,7 @@ class Refinement(_NMPStage):
     def __call__(self, disp, fmap1, fmap2, fmap1_gw, fmap2_gw,
                  deterministic: bool = True):
         """disp: [B, H, W]. -> [L, B, H, W, C] (candidate axis squeezed)."""
-        labels = disp[..., None]  # N = 1
+        labels = disp.astype(jnp.float32)[..., None]  # N = 1
         label_rep = self._embed(labels, fmap1, fmap2, fmap1_gw, fmap2_gw)
         abs_enc = fourier_coord_embed(labels[..., None], 15, normalizer=3.14 / 128)
         out = self._run_layers(RefinementLayer, label_rep, abs_enc, deterministic)

@@ -51,8 +51,9 @@ def disp_warp(fmap, disp, radius=0):
     in1 = (x1i >= 0) & (x1i <= W - 1)
     v0 = _gather_w(fmap, jnp.clip(x0i, 0, W - 1))  # [B,H,K,C]
     v1 = _gather_w(fmap, jnp.clip(x1i, 0, W - 1))
-    w0 = ((1.0 - frac) * in0)[..., None]
-    w1 = (frac * in1)[..., None]
+    # compute blend weights in the position dtype, apply in the feature dtype
+    w0 = ((1.0 - frac) * in0)[..., None].astype(fmap.dtype)
+    w1 = (frac * in1)[..., None].astype(fmap.dtype)
     out = v0 * w0 + v1 * w1
     return out.reshape(B, H, W, N * taps, C)
 

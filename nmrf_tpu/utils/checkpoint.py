@@ -223,6 +223,96 @@ def load_torch_checkpoint(path: str):
     return convert_torch_state_dict(weights)
 
 
+# ---- pretrained Swin ingestion (reference backbone.py:161-196) ---- #
+
+_SWIN_SKIP = re.compile(r"(attn_mask|relative_position_index)")
+_SWIN_RULES = [
+    (r"patch_embed\.proj\.weight", "patch_embed_proj/kernel", "conv2d"),
+    (r"patch_embed\.proj\.bias", "patch_embed_proj/bias", "raw"),
+    (r"patch_embed\.norm\.weight", "patch_embed_norm/scale", "raw"),
+    (r"patch_embed\.norm\.bias", "patch_embed_norm/bias", "raw"),
+    (r"layers\.(\d)\.blocks\.(\d+)\.norm(\d)\.weight",
+     "layers_{0}_blocks_{1}/norm{2}/scale", "raw"),
+    (r"layers\.(\d)\.blocks\.(\d+)\.norm(\d)\.bias",
+     "layers_{0}_blocks_{1}/norm{2}/bias", "raw"),
+    (r"layers\.(\d)\.blocks\.(\d+)\.attn\.qkv\.weight",
+     "layers_{0}_blocks_{1}/attn/qkv/kernel", "linear"),
+    (r"layers\.(\d)\.blocks\.(\d+)\.attn\.qkv\.bias",
+     "layers_{0}_blocks_{1}/attn/qkv/bias", "raw"),
+    (r"layers\.(\d)\.blocks\.(\d+)\.attn\.proj\.weight",
+     "layers_{0}_blocks_{1}/attn/proj/kernel", "linear"),
+    (r"layers\.(\d)\.blocks\.(\d+)\.attn\.proj\.bias",
+     "layers_{0}_blocks_{1}/attn/proj/bias", "raw"),
+    (r"layers\.(\d)\.blocks\.(\d+)\.attn\.relative_position_bias_table",
+     "layers_{0}_blocks_{1}/attn/relative_position_bias_table", "raw"),
+    (r"layers\.(\d)\.blocks\.(\d+)\.mlp\.fc(\d)\.weight",
+     "layers_{0}_blocks_{1}/mlp/fc{2}/kernel", "linear"),
+    (r"layers\.(\d)\.blocks\.(\d+)\.mlp\.fc(\d)\.bias",
+     "layers_{0}_blocks_{1}/mlp/fc{2}/bias", "raw"),
+    (r"layers\.(\d)\.downsample\.norm\.weight",
+     "layers_{0}_downsample/norm/scale", "raw"),
+    (r"layers\.(\d)\.downsample\.norm\.bias",
+     "layers_{0}_downsample/norm/bias", "raw"),
+    (r"layers\.(\d)\.downsample\.reduction\.weight",
+     "layers_{0}_downsample/reduction/kernel", "linear"),
+]
+
+
+def convert_swin_state_dict(state_dict: Dict[str, Any]):
+    """Convert a torch Swin-T checkpoint (e.g. swin_tiny_patch4_window7_224)
+    to the flax param subtree of ``models.swin.SwinTransformer``.
+
+    Applies the reference's ``checkpoint_filter_fn`` semantics
+    (backbone.py:161-173): drops attn_mask/index buffers and top-level
+    ``norm.*`` / ``head.*`` classifier weights.  Returns (subtree, unmatched).
+    """
+    state_dict = state_dict.get("model", state_dict)
+    state_dict = state_dict.get("state_dict", state_dict)
+    out: Dict[str, Any] = {}
+    unmatched = []
+    for key, value in state_dict.items():
+        if _SWIN_SKIP.search(key) or key.startswith(("norm", "head")):
+            continue
+        v = value.numpy() if hasattr(value, "numpy") else np.asarray(value)
+        for pattern, template, kind in _SWIN_RULES:
+            m = re.fullmatch(pattern, key)
+            if m:
+                _set(out, template.format(*m.groups()).split("/"), _TRANSFORM[kind](v))
+                break
+        else:
+            unmatched.append(key)
+    return out, unmatched
+
+
+def load_pretrained_swin(params, weight_path: str):
+    """Merge a pretrained torch Swin checkpoint into model params
+    (params['params']['backbone']['backbone'], the SwinAdaptor's inner
+    SwinTransformer — reference create_backbone, backbone.py:186-196)."""
+    import torch
+
+    ckpt = torch.load(weight_path, map_location="cpu", weights_only=False)
+    subtree, unmatched = convert_swin_state_dict(ckpt)
+    if unmatched:
+        raise ValueError(f"unmatched swin keys: {unmatched[:8]}")
+    import jax
+
+    params = jax.tree_util.tree_map(lambda x: x, params)  # shallow copy
+    target = params["params"]["backbone"]["backbone"]
+
+    def merge(dst, src, path=""):
+        for k, v in src.items():
+            assert k in dst, f"swin param {path}/{k} missing in model"
+            if isinstance(v, dict):
+                merge(dst[k], v, f"{path}/{k}")
+            else:
+                assert tuple(dst[k].shape) == tuple(np.asarray(v).shape), \
+                    (path + "/" + k, dst[k].shape, np.asarray(v).shape)
+                dst[k] = np.asarray(v)
+
+    merge(target, subtree)
+    return params
+
+
 # ---- orbax-backed native checkpointing ---- #
 
 def save_checkpoint(ckpt_dir: str, step: int, state, keep_latest: bool = True):

@@ -166,3 +166,57 @@ class TestConverter:
         converted, _ = convert_torch_state_dict(sd)
         got = converted["params"]["infer_score_head"]["kernel"]
         np.testing.assert_array_equal(got, sd["infer_score_head.weight"].T)
+
+
+class TestSwinConverter:
+    def test_swin_tiny_keys_land_on_model_paths(self):
+        """Synthetic swin_tiny_patch4_window7_224-style state dict converts
+        onto the SwinTransformer param tree with matching shapes."""
+        from nmrf_tpu.models.swin import SwinTransformer
+        from nmrf_tpu.utils.checkpoint import convert_swin_state_dict
+
+        depths = (2, 2, 6, 2)
+        dims = (96, 192, 384, 768)
+        sd = {}
+        sd["patch_embed.proj.weight"] = np.zeros((96, 3, 4, 4), np.float32)
+        sd["patch_embed.proj.bias"] = np.zeros((96,), np.float32)
+        sd["patch_embed.norm.weight"] = np.zeros((96,), np.float32)
+        sd["patch_embed.norm.bias"] = np.zeros((96,), np.float32)
+        for i, (d, c) in enumerate(zip(depths, dims)):
+            for b in range(d):
+                p = f"layers.{i}.blocks.{b}"
+                for n in (1, 2):
+                    sd[f"{p}.norm{n}.weight"] = np.zeros((c,), np.float32)
+                    sd[f"{p}.norm{n}.bias"] = np.zeros((c,), np.float32)
+                sd[f"{p}.attn.qkv.weight"] = np.zeros((3 * c, c), np.float32)
+                sd[f"{p}.attn.qkv.bias"] = np.zeros((3 * c,), np.float32)
+                sd[f"{p}.attn.proj.weight"] = np.zeros((c, c), np.float32)
+                sd[f"{p}.attn.proj.bias"] = np.zeros((c,), np.float32)
+                sd[f"{p}.attn.relative_position_bias_table"] = np.zeros(
+                    (169, c // 32), np.float32)
+                sd[f"{p}.attn.relative_position_index"] = np.zeros((49, 49))
+                sd[f"{p}.mlp.fc1.weight"] = np.zeros((4 * c, c), np.float32)
+                sd[f"{p}.mlp.fc1.bias"] = np.zeros((4 * c,), np.float32)
+                sd[f"{p}.mlp.fc2.weight"] = np.zeros((c, 4 * c), np.float32)
+                sd[f"{p}.mlp.fc2.bias"] = np.zeros((c,), np.float32)
+            if i < 3:
+                sd[f"layers.{i}.downsample.norm.weight"] = np.zeros((4 * c,), np.float32)
+                sd[f"layers.{i}.downsample.norm.bias"] = np.zeros((4 * c,), np.float32)
+                sd[f"layers.{i}.downsample.reduction.weight"] = np.zeros(
+                    (2 * c, 4 * c), np.float32)
+        # classifier head must be filtered
+        sd["norm.weight"] = np.zeros((768,), np.float32)
+        sd["head.weight"] = np.zeros((1000, 768), np.float32)
+
+        subtree, unmatched = convert_swin_state_dict(sd)
+        assert unmatched == [], unmatched
+
+        model = SwinTransformer()
+        target = jax.eval_shape(
+            lambda r: model.init(r, jnp.zeros((1, 64, 96, 3))),
+            jax.random.PRNGKey(0))["params"]
+        got = _flatten(subtree)
+        want = _flatten(dict(target))
+        assert set(got) == set(want), (set(got) ^ set(want))
+        for k in got:
+            assert tuple(np.asarray(got[k]).shape) == tuple(want[k].shape), k

@@ -117,3 +117,23 @@ class TestGradFlow:
         # most parameters should receive nonzero gradient
         nz = sum(float(jnp.abs(x).sum()) > 0 for x in leaves)
         assert nz / len(leaves) > 0.5, f"only {nz}/{len(leaves)} grads nonzero"
+
+
+class TestLowerMedianPool:
+    def test_matches_sort_based_median(self):
+        from nmrf_tpu.models.nmrf import _lower_median_pool
+
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.rand(2, 8, 12).astype(np.float32) * 50)
+        got = _lower_median_pool(x, 4)
+        v = np.asarray(x).reshape(2, 2, 4, 3, 4).transpose(0, 1, 3, 2, 4)
+        v = v.reshape(2, 2, 3, 16)
+        want = np.sort(v, axis=-1)[..., 7]
+        np.testing.assert_allclose(np.asarray(got), want)
+
+    def test_with_ties(self):
+        from nmrf_tpu.models.nmrf import _lower_median_pool
+
+        x = jnp.asarray(np.full((1, 4, 4), 3.0, np.float32))
+        got = _lower_median_pool(x, 4)
+        np.testing.assert_allclose(np.asarray(got), [[[3.0]]])

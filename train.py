@@ -151,6 +151,13 @@ def main():
     num_params = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
     logger.info("Number of params:" + str(num_params))
 
+    # pretrained swin ingestion (reference create_backbone, backbone.py:186-196)
+    if cfg.BACKBONE.MODEL_TYPE == "swin" and cfg.BACKBONE.WEIGHT_URL:
+        from nmrf_tpu.utils.checkpoint import load_pretrained_swin
+
+        params = load_pretrained_swin(params, cfg.BACKBONE.WEIGHT_URL)
+        logger.info(f"Loaded pretrained backbone weights from {cfg.BACKBONE.WEIGHT_URL}")
+
     tx, schedule = build_optimizer(params, cfg)
     opt_state = tx.init(params)
 
