@@ -63,18 +63,23 @@ def shard_batch(batch: dict, mesh: Mesh) -> dict:
 def make_train_step(model, criterion, tx):
     """Build the jitted sharded train step.
 
-    Returns step(params, opt_state, batch) -> (params, opt_state, metrics).
-    Batch arrives sharded on `data`; XLA inserts the grad all-reduce.
+    Returns step(params, opt_state, batch, step_idx) -> (params, opt_state,
+    metrics).  Batch arrives sharded on `data`; XLA inserts the grad
+    all-reduce.  A per-step dropout rng is derived from step_idx (used by
+    DropPath/Dropout when the config enables them, e.g. swin drop-path).
     """
 
-    def loss_fn(params, batch):
-        out = model.apply(params, batch["img1"], batch["img2"], train=True)
+    def loss_fn(params, batch, rng):
+        out = model.apply(params, batch["img1"], batch["img2"], train=True,
+                          rngs={"dropout": rng})
         losses = criterion(out, {"disp": batch["disp"], "valid": batch["valid"]})
         return losses["total"], losses
 
     @partial(jax.jit, donate_argnums=(0, 1))
-    def step(params, opt_state, batch):
-        (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, batch)
+    def step(params, opt_state, batch, step_idx=0):
+        rng = jax.random.fold_in(jax.random.PRNGKey(0), step_idx)
+        (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, batch, rng)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, losses

@@ -210,7 +210,7 @@ def main():
         header = f"Epoch: [{epoch}]"
         for batch in metric_logger.log_every(loader, 20, header, logger=logger):
             device_batch = shard_batch(batch, mesh)
-            params, opt_state, losses = train_step(params, opt_state, device_batch)
+            params, opt_state, losses = train_step(params, opt_state, device_batch, total_steps)
 
             metric_logger.update(lr=float(schedule(total_steps)))
             metric_logger.update(**{k: float(v) for k, v in losses.items()})
