@@ -111,8 +111,12 @@ def get_cfg() -> CN:
     # Mesh axis sizes; -1 on DATA means "all remaining devices".
     _C.TPU.MESH_DATA = -1
     _C.TPU.MESH_SPATIAL = 1
-    # Use Pallas kernels for hot ops when available (else pure-XLA path).
-    _C.TPU.USE_PALLAS = True
+    # Use the fused Pallas window-attention kernel in the NMP stages.
+    # Default False: on v5e the XLA lowering is faster for these window
+    # shapes (P=36 tokens/window underutilizes the per-grid-cell MXU);
+    # the kernel is parity-tested and TPU-validated for when larger windows
+    # or multi-window blocking make it win.
+    _C.TPU.USE_PALLAS = False
     # Eval-time padding bucketing to bound recompiles: pad H,W up to multiples.
     _C.TPU.EVAL_BUCKET = 64
 

@@ -33,6 +33,7 @@ def build_model(cfg):
         normalize_before=cfg.NMP.NORMALIZE_BEFORE,
         aux_loss=cfg.SOLVER.AUX_LOSS,
         compute_dtype=cfg.TPU.COMPUTE_DTYPE,
+        use_pallas=cfg.TPU.USE_PALLAS,
     )
     criterion = Criterion(
         max_disp=cfg.SOLVER.MAX_DISP,

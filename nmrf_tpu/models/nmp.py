@@ -144,6 +144,10 @@ class WindowAttention(nn.Module):
     num_heads: int
     attn_drop: float = 0.0
     dtype: Any = None
+    # fused Pallas attention kernel (ops/pallas/window_attention.py); falls
+    # back to the XLA path when attention dropout is active
+    use_pallas: bool = False
+    pallas_interpret: bool = False
 
     @nn.compact
     def __call__(self, qkv, attn_mask, deterministic: bool = True, shift=None):
@@ -187,6 +191,35 @@ class WindowAttention(nn.Module):
         q_embed, k_embed, v_embed = jnp.split(rpe, 3, axis=-1)
 
         Bw = q.shape[0]
+        use_pallas = self.use_pallas and (
+            self.attn_drop == 0.0 or deterministic)
+        if use_pallas:
+            from ..ops.pallas.window_attention import (
+                fused_window_attention, window_attention_op)
+
+            Bw0 = q.shape[0]
+            q5 = q.reshape(Bw0, h, P, N, hd)
+            k5 = k.reshape(Bw0, h, P, N, hd)
+            v5 = v.reshape(Bw0, h, P, N, hd)
+            # tables to [h, P_q, P_s, c]
+            ke = k_embed.transpose(2, 0, 1, 3)
+            qe = q_embed.transpose(2, 0, 1, 3)
+            ve = v_embed.transpose(2, 0, 1, 3)
+            if attn_mask is None:
+                mask5 = jnp.zeros((1, P, N, P, N), jnp.float32)
+            else:
+                nWm = attn_mask.shape[0]
+                mask5 = attn_mask.reshape(nWm, P, N, P, N)
+            if self.pallas_interpret:
+                out = fused_window_attention(q5, k5, v5, ke, qe, ve, mask5,
+                                             scale, interpret=True)
+            else:
+                out = window_attention_op(q5, k5, v5, ke, qe, ve, mask5, scale)
+            out = out.reshape(B, nwh, nww, h, wh, ww, N, hd)
+            out = out.transpose(0, 1, 4, 2, 5, 6, 3, 7).reshape(B, H, W, N, self.dim)
+            if not (isinstance(shift, int) and shift == 0):
+                out = jnp.roll(out, (shift, shift), axis=(1, 2))
+            return out
         q = q * scale
         f32 = dict(preferred_element_type=jnp.float32)
         attn = jnp.einsum("bhic,bhjc->bhij", q, k, **f32)
@@ -252,6 +285,7 @@ class SwinNMP(nn.Module):
     act: Callable = gelu_exact
     normalize_before: bool = False
     dtype: Any = None
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, label_rep, abs_encoding, attn_mask,
@@ -270,7 +304,8 @@ class SwinNMP(nn.Module):
         qkv = Dense(3 * self.dim, dtype=self.dtype, name="qkv")(x)
         msg = WindowAttention(
             self.dim, (self.window_size, self.window_size), self.shift_size,
-            self.num_heads, self.attn_drop, dtype=self.dtype, name="attn",
+            self.num_heads, self.attn_drop, dtype=self.dtype,
+            use_pallas=self.use_pallas, name="attn",
         )(qkv, attn_mask, deterministic, shift=shift)
         msg = Dense(self.dim, dtype=self.dtype, name="proj")(msg)
         msg = nn.Dropout(self.drop, deterministic=deterministic)(msg)

@@ -89,6 +89,8 @@ class NMRF(nn.Module):
     # computation dtype for the hot path ("float32" parity / "bfloat16" speed);
     # norms, softmax, probabilities, and all disparity arithmetic stay float32
     compute_dtype: str = "float32"
+    # fused Pallas window-attention kernel in the NMP stages
+    use_pallas: bool = False
 
     @property
     def dtype(self):
@@ -136,7 +138,7 @@ class NMRF(nn.Module):
             proj_drop=self.proj_drop, drop_path=self.drop_path,
             dropout=self.dropout, normalize_before=self.normalize_before,
             return_intermediate=self.return_intermediate, dtype=self.dtype,
-            name="inference")
+            use_pallas=self.use_pallas, name="inference")
         self.infer_head = MLPBlock(self.infer_embed_dim, 8 * 8, 3, name="infer_head")
         self.infer_score_head = Dense(8 * 8, name="infer_score_head")
 
@@ -149,7 +151,7 @@ class NMRF(nn.Module):
                 proj_drop=self.proj_drop, drop_path=self.drop_path,
                 dropout=self.dropout, normalize_before=self.normalize_before,
                 return_intermediate=self.return_intermediate, dtype=self.dtype,
-                name="refinement")
+                use_pallas=self.use_pallas, name="refinement")
             self.refine_head = MLPBlock(self.infer_embed_dim, 4 * 4, 3, name="refine_head")
 
     def extract_feature(self, img1, img2):

@@ -184,6 +184,7 @@ class InferenceLayer(nn.Module):
     dropout: float = 0.0
     normalize_before: bool = False
     dtype: Any = None
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, tgt, abs_encoding, attn_mask, deterministic: bool = True,
@@ -201,7 +202,7 @@ class InferenceLayer(nn.Module):
             self.embed_dim, self.n_heads, self.window_size, 0,
             self.mlp_ratio, self.dropout, self.attn_drop, 0.0,
             get_activation(self.activation), self.normalize_before,
-            dtype=self.dtype, name="nmp",
+            dtype=self.dtype, use_pallas=self.use_pallas, name="nmp",
         )(x, abs_encoding, attn_mask, deterministic, shift=shift,
           drop_path_rate=drop_path_rate)
         return x
@@ -220,6 +221,7 @@ class RefinementLayer(nn.Module):
     dropout: float = 0.0
     normalize_before: bool = False
     dtype: Any = None
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, tgt, abs_encoding, attn_mask, deterministic: bool = True,
@@ -228,7 +230,7 @@ class RefinementLayer(nn.Module):
             self.embed_dim, self.n_heads, self.window_size, 0,
             self.mlp_ratio, self.dropout, self.attn_drop, 0.0,
             get_activation(self.activation), self.normalize_before,
-            dtype=self.dtype, name="nmp",
+            dtype=self.dtype, use_pallas=self.use_pallas, name="nmp",
         )(tgt, abs_encoding, attn_mask, deterministic, shift=shift,
           drop_path_rate=drop_path_rate)
 
@@ -270,6 +272,7 @@ class _NMPStage(nn.Module):
     normalize_before: bool = False
     return_intermediate: bool = False
     dtype: Any = None
+    use_pallas: bool = False
 
     # refinement=False: candidate mask + normalizer pi/64 (Inference)
     # refinement=True:  no candidate mask + normalizer pi/128 (Refinement)
@@ -341,6 +344,7 @@ class _NMPStage(nn.Module):
             ("proj_drop", self.proj_drop), ("dropout", self.dropout),
             ("normalize_before", self.normalize_before),
             ("dtype", self.dtype),
+            ("use_pallas", self.use_pallas),
         )
         ScanStack = nn.scan(
             _StageScanBody,
