@@ -140,7 +140,8 @@ class DispEvaluator:
         return {"disp": res}
 
 
-def inference_on_dataset(run_model, data_iter, evaluator, total=None):
+def inference_on_dataset(run_model, data_iter, evaluator, total=None,
+                         gather_fn=None):
     """Timed eval loop (reference evaluation.py:166-289).
 
     Args:
@@ -178,4 +179,4 @@ def inference_on_dataset(run_model, data_iter, evaluator, total=None):
                 f"{seconds_per_iter:.4f} s/iter total")
         start_data_time = time.perf_counter()
 
-    return evaluator.evaluate()
+    return evaluator.evaluate(gather_fn=gather_fn)

@@ -374,18 +374,24 @@ class CSWinAttention(nn.Module):
             return t.transpose(0, 1, 3, 6, 2, 4, 5, 7).reshape(
                 B * ni * nj, h, H_sp * W_sp * N, hd)
 
-        # depthwise 3x3 conv positional term on stripe-local planes
+        # depthwise 3x3 conv positional term on stripe-local planes.
+        # Implemented as 9 shifted multiplies instead of a conv primitive:
+        # identical math (depthwise = per-channel elementwise), and the XLA
+        # TPU backward of a depthwise conv over degenerate width-1 stripe
+        # images produces NaN kernel gradients (observed on v5e).
         kernel = self.param("get_v_kernel", _torch_conv_default_init,
                             (3, 3, 1, self.dim))  # HWIO, depthwise
         if self.dtype is not None:
             kernel = kernel.astype(self.dtype)
         vs = v.reshape(B, ni, H_sp, nj, W_sp, N, self.dim)
         vs = vs.transpose(0, 1, 3, 5, 2, 4, 6).reshape(B * ni * nj * N, H_sp, W_sp, self.dim)
-        rpe_full = jax.lax.conv_general_dilated(
-            vs, kernel, window_strides=(1, 1), padding=((1, 1), (1, 1)),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            feature_group_count=self.dim,
-        ).reshape(B * ni * nj, N, H_sp, W_sp, self.dim)
+        vs_pad = jnp.pad(vs, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        rpe_full = None
+        for dy in range(3):
+            for dx in range(3):
+                tap = vs_pad[:, dy:dy + H_sp, dx:dx + W_sp, :] * kernel[dy, dx, 0]
+                rpe_full = tap if rpe_full is None else rpe_full + tap
+        rpe_full = rpe_full.reshape(B * ni * nj, N, H_sp, W_sp, self.dim)
         rpe_sum = rpe_full.sum(axis=1, keepdims=True)  # sum over candidates
         # self-edge removal: subtract other-candidates' center-tap contribution
         w_center = kernel[1, 1, 0, :]  # [dim]

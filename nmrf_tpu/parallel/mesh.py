@@ -75,7 +75,10 @@ def make_train_step(model, criterion, tx):
         losses = criterion(out, {"disp": batch["disp"], "valid": batch["valid"]})
         return losses["total"], losses
 
-    @partial(jax.jit, donate_argnums=(0, 1))
+    # NOTE: no donate_argnums — buffer donation corrupts live buffers through
+    # this environment's device relay (params turn NaN on the second step);
+    # re-enable once verified on a direct-attached TPU runtime.
+    @jax.jit
     def step(params, opt_state, batch, step_idx=0):
         rng = jax.random.fold_in(jax.random.PRNGKey(0), step_idx)
         (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(

@@ -167,3 +167,11 @@ class TestEvaluator:
         res = ev.evaluate()["disp"]
         assert res["prop_epe"] == pytest.approx(0.0)
         assert res["prop_recall_3"] == pytest.approx(100.0)
+
+
+class TestDistGather:
+    def test_single_process_identity(self):
+        from nmrf_tpu.utils.dist import all_gather_float_lists
+
+        out = all_gather_float_lists([1.0, 2.5, 3.0])
+        assert out == [[1.0, 2.5, 3.0]]

@@ -107,8 +107,14 @@ def evaluate(eval_step, params, cfg, logger):
                 res["proposal"] = np.asarray(out["proposal"])
             return res
 
+        import jax as _jax
+
+        gather_fn = None
+        if _jax.process_count() > 1:
+            from nmrf_tpu.utils.dist import metrics_gather_fn as gather_fn
         results[name] = inference_on_dataset(run_model, data_iter(), evaluator,
-                                             total=len(dataset))
+                                             total=len(dataset),
+                                             gather_fn=gather_fn)
         logger.info(f"Evaluation results for {name} in csv format:")
         print_csv_format(results[name], logger)
     if len(results) == 1:
