@@ -8,8 +8,6 @@ yacs; the tree is a plain dict subclass so it can be treated as a pytree leaf
 container and hashed for jit-compile caching.
 """
 
-from __future__ import annotations
-
 import copy
 import os
 from typing import Any, Dict, List

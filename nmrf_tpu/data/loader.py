@@ -10,7 +10,7 @@ semantics (same seed => same permutation on every process).
 
 import queue
 import threading
-from typing import Iterator, Optional
+from typing import Iterator
 
 import numpy as np
 

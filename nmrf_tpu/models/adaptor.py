@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.msda import ms_deform_attn
-from .layers import Conv, Dense, DropPath, Mlp, gelu_exact, instance_norm_2d, trunc_normal_init
+from .layers import Conv, Dense, DropPath, gelu_exact, instance_norm_2d
 from .swin import SwinTransformer
 
 

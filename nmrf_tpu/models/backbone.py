@@ -7,7 +7,7 @@ Outputs a [1/4-res, 1/8-res] feature pyramid (channel-last).
 The Swin-T + DeformNeck backbone lives in ``swin.py`` / ``adaptor.py``.
 """
 
-from typing import Any, Sequence
+from typing import Any
 
 import jax
 import jax.numpy as jnp

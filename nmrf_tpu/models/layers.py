@@ -13,8 +13,7 @@ Numerical-parity notes (SURVEY.md §7.3 hard part #1):
   * Conv init: kaiming_normal fan_out relu => variance_scaling(2, fan_out).
 """
 
-from functools import partial
-from typing import Any, Callable, Optional, Sequence
+from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp

@@ -14,16 +14,15 @@ Behavioral parity targets are cited per class.
 
 import math
 from functools import lru_cache
-from typing import Any, Callable, Optional, Sequence, Tuple
+from typing import Any, Callable, Tuple
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.encodings import fourier_coord_embed, fourier_grid_embed
-from ..ops.sampling import disp_warp, sample_cost
-from .layers import Dense, DropPath, LayerNorm, Mlp, gelu_exact, get_activation, trunc_normal_init
+from ..ops.encodings import fourier_grid_embed
+from .layers import Dense, DropPath, LayerNorm, Mlp, gelu_exact
 
 NEG_INF = -1e9  # finite -inf stand-in; softmax-safe and grad-safe
 

@@ -10,7 +10,7 @@ The aux-loss path returns stacked per-layer predictions instead of a list of
 dicts — the criterion consumes them vectorized.
 """
 
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

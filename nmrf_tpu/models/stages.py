@@ -13,7 +13,7 @@ intermediate layer outputs are stacked on a leading layer axis for the aux
 losses.  Window padding is static (trace-time), masks are numpy constants.
 """
 
-from typing import Any, Optional
+from typing import Any
 
 import numpy as np
 import jax

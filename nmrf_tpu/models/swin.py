@@ -7,7 +7,7 @@ position bias, -100.0 shifted-window mask fill, no output norms); outputs a
 """
 
 from functools import lru_cache
-from typing import Sequence, Tuple
+from typing import Sequence
 
 import numpy as np
 import jax

@@ -10,7 +10,6 @@ Multi-host: call ``initialize_distributed()`` once per host before building
 the mesh; ``jax.devices()`` then spans all hosts.
 """
 
-from functools import partial
 import optax
 from typing import Optional
 

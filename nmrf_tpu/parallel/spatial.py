@@ -18,8 +18,6 @@ the GLOBAL H divided evenly across the axis.  Bit-parity vs the unsharded
 ops is covered by ``tests/test_spatial.py`` on the 8-device CPU mesh.
 """
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from jax import lax

@@ -16,7 +16,7 @@ gradients are clipped globally first (reference clip_grad_norm_, main.py:425).
 """
 
 import math
-from typing import Any, Dict
+from typing import Any
 
 import jax
 import jax.numpy as jnp
