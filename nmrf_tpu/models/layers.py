@@ -21,7 +21,6 @@ from flax import linen as nn
 
 # torch-parity initializers
 trunc_normal_init = nn.initializers.truncated_normal(stddev=0.02, lower=-2.0, upper=2.0)
-kaiming_out_init = nn.initializers.variance_scaling(2.0, "fan_out", "truncated_normal")
 
 
 def kaiming_normal_out(key, shape, dtype=jnp.float32):
