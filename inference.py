@@ -52,7 +52,9 @@ def build(args):
         if resume.endswith(".pth"):
             params, _ = load_torch_checkpoint(resume)
         else:
-            (state, _), _ = restore_checkpoint(resume, {"params": params}), 0
+            # restore the raw saved tree ({"params","opt_state","step"},
+            # utils/checkpoint.py:save_checkpoint) and keep the params
+            state, _ = restore_checkpoint(resume)
             params = state["params"]
     return cfg, model, params, make_eval_step(model)
 

@@ -59,13 +59,14 @@ def shard_batch(batch: dict, mesh: Mesh) -> dict:
     return out
 
 
-def make_train_step(model, criterion, tx):
+def make_train_step(model, criterion, tx, seed: int = 0):
     """Build the jitted sharded train step.
 
     Returns step(params, opt_state, batch, step_idx) -> (params, opt_state,
     metrics).  Batch arrives sharded on `data`; XLA inserts the grad
-    all-reduce.  A per-step dropout rng is derived from step_idx (used by
-    DropPath/Dropout when the config enables them, e.g. swin drop-path).
+    all-reduce.  A per-step dropout rng is derived from (cfg.SEED, step_idx)
+    (used by DropPath/Dropout when the config enables them, e.g. swin
+    drop-path).
     """
 
     def loss_fn(params, batch, rng):
@@ -79,7 +80,7 @@ def make_train_step(model, criterion, tx):
     # re-enable once verified on a direct-attached TPU runtime.
     @jax.jit
     def step(params, opt_state, batch, step_idx=0):
-        rng = jax.random.fold_in(jax.random.PRNGKey(0), step_idx)
+        rng = jax.random.fold_in(jax.random.PRNGKey(seed), step_idx)
         (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, batch, rng)
         updates, opt_state = tx.update(grads, opt_state, params)

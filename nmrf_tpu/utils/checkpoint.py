@@ -192,6 +192,10 @@ def convert_torch_state_dict(state_dict: Dict[str, Any], scanned: bool = True):
     params: Dict[str, Any] = {}
     unmatched = []
     for key, value in state_dict.items():
+        # COMPAT=False checkpoints name the backbone "image_encoder"
+        # (reference NMRF.py:107-111); normalize to the compat prefix.
+        if key.startswith("image_encoder."):
+            key = "backbone." + key[len("image_encoder."):]
         if _SKIP.search(key):
             continue
         v = value.numpy() if hasattr(value, "numpy") else np.asarray(value)
@@ -256,6 +260,57 @@ _SWIN_RULES = [
     (r"layers\.(\d)\.downsample\.reduction\.weight",
      "layers_{0}_downsample/reduction/kernel", "linear"),
 ]
+
+
+# ---- swin-NMRF (SwinAdaptor backbone) rules ---- #
+# Reference: nmrf/models/backbone.py:101-158 (SwinAdaptor = SwinTransformer +
+# DeformNeck), adaptor_modules.py:108-188 (ConvStem Sequential conv indices
+# 0/3/6, fcs = [LayerNorm, Linear], Extractor norms + MSDeformAttn + ConvFFN),
+# ops/modules/ms_deform_attn.py:28-130 (proj layers).  The inner swin tree
+# reuses _SWIN_RULES with the adaptor prefix.
+_ADAPTOR_RULES = [
+    (r"backbone\.neck\.stem\.stem\.0\.weight",
+     "backbone/neck/stem/stem_0/kernel", "conv2d"),
+    (r"backbone\.neck\.stem\.stem\.3\.weight",
+     "backbone/neck/stem/stem_1/kernel", "conv2d"),
+    (r"backbone\.neck\.stem\.stem\.6\.weight",
+     "backbone/neck/stem/stem_2/kernel", "conv2d"),
+    (r"backbone\.neck\.stem\.fc\.weight", "backbone/neck/stem/fc/kernel", "conv2d"),
+    (r"backbone\.neck\.stem\.fc\.bias", "backbone/neck/stem/fc/bias", "raw"),
+    (r"backbone\.neck\.fcs\.(\d)\.0\.weight",
+     "backbone/neck/fcs_{0}_norm/scale", "raw"),
+    (r"backbone\.neck\.fcs\.(\d)\.0\.bias",
+     "backbone/neck/fcs_{0}_norm/bias", "raw"),
+    (r"backbone\.neck\.fcs\.(\d)\.1\.weight",
+     "backbone/neck/fcs_{0}_linear/kernel", "linear"),
+    (r"backbone\.neck\.fcs\.(\d)\.1\.bias",
+     "backbone/neck/fcs_{0}_linear/bias", "raw"),
+    (r"backbone\.neck\.extractors\.(\d)\.(query_norm|feat_norm|ffn_norm)\.weight",
+     "backbone/neck/extractors_{0}/{1}/scale", "raw"),
+    (r"backbone\.neck\.extractors\.(\d)\.(query_norm|feat_norm|ffn_norm)\.bias",
+     "backbone/neck/extractors_{0}/{1}/bias", "raw"),
+    (r"backbone\.neck\.extractors\.(\d)\.attn\."
+     r"(value_proj|sampling_offsets|attention_weights|output_proj)\.weight",
+     "backbone/neck/extractors_{0}/attn/{1}/kernel", "linear"),
+    (r"backbone\.neck\.extractors\.(\d)\.attn\."
+     r"(value_proj|sampling_offsets|attention_weights|output_proj)\.bias",
+     "backbone/neck/extractors_{0}/attn/{1}/bias", "raw"),
+    (r"backbone\.neck\.extractors\.(\d)\.ffn\.fc(\d)\.weight",
+     "backbone/neck/extractors_{0}/ffn/fc{1}/kernel", "linear"),
+    (r"backbone\.neck\.extractors\.(\d)\.ffn\.fc(\d)\.bias",
+     "backbone/neck/extractors_{0}/ffn/fc{1}/bias", "raw"),
+    (r"backbone\.neck\.extractors\.(\d)\.ffn\.dwconv\.dwconv\.weight",
+     "backbone/neck/extractors_{0}/ffn/dwconv_kernel", "depthwise"),
+    (r"backbone\.neck\.extractors\.(\d)\.ffn\.dwconv\.dwconv\.bias",
+     "backbone/neck/extractors_{0}/ffn/dwconv_bias", "raw"),
+]
+
+
+_RULES.extend(_ADAPTOR_RULES)
+# inner SwinTransformer under the adaptor: same key families as a standalone
+# pretrained swin checkpoint, prefixed (reference SwinAdaptor.backbone)
+_RULES.extend((r"backbone\.backbone\." + pat, "backbone/backbone/" + tmpl, kind)
+              for pat, tmpl, kind in _SWIN_RULES)
 
 
 def convert_swin_state_dict(state_dict: Dict[str, Any]):
@@ -330,7 +385,13 @@ def save_checkpoint(ckpt_dir: str, step: int, state, keep_latest: bool = True):
     return path
 
 
-def restore_checkpoint(ckpt_dir: str, abstract_state, step: int = None):
+def restore_checkpoint(ckpt_dir: str, abstract_state=None, step: int = None):
+    """Restore a train state saved by ``save_checkpoint``.
+
+    abstract_state: the full {"params", "opt_state", "step"} tree (shapes /
+    ShapeDtypeStructs) for sharded/typed restore, or None to restore the
+    raw saved tree as host numpy (e.g. params-only consumers like
+    ``inference.py``)."""
     import orbax.checkpoint as ocp
 
     if step is None:
@@ -338,4 +399,6 @@ def restore_checkpoint(ckpt_dir: str, abstract_state, step: int = None):
             step = int(f.read().strip())
     path = os.path.abspath(os.path.join(ckpt_dir, f"step_{step:08d}"))
     ckptr = ocp.StandardCheckpointer()
+    if abstract_state is None:
+        return ckptr.restore(path), step
     return ckptr.restore(path, abstract_state), step

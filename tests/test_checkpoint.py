@@ -168,6 +168,31 @@ class TestConverter:
         np.testing.assert_array_equal(got, sd["infer_score_head.weight"].T)
 
 
+class TestOrbaxRoundTrip:
+    def test_save_restore_raw_and_typed(self, tmp_path):
+        """save_checkpoint -> restore_checkpoint round trip, both the typed
+        (train resume) and raw (inference.py params-only) forms."""
+        from nmrf_tpu.utils.checkpoint import restore_checkpoint, save_checkpoint
+
+        params = {"params": {"w": np.arange(6, dtype=np.float32).reshape(2, 3),
+                             "b": np.zeros((3,), np.float32)}}
+        opt_state = {"mu": np.ones((2, 3), np.float32)}
+        state = {"params": params, "opt_state": opt_state, "step": 17}
+        save_checkpoint(str(tmp_path), 17, state)
+
+        raw, step = restore_checkpoint(str(tmp_path))
+        assert step == 17 and int(raw["step"]) == 17
+        np.testing.assert_array_equal(raw["params"]["params"]["w"],
+                                      params["params"]["w"])
+
+        abstract = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype)
+            if hasattr(x, "shape") or isinstance(x, np.ndarray) else x, state)
+        typed, _ = restore_checkpoint(str(tmp_path), abstract)
+        np.testing.assert_array_equal(np.asarray(typed["opt_state"]["mu"]),
+                                      opt_state["mu"])
+
+
 class TestSwinConverter:
     def test_swin_tiny_keys_land_on_model_paths(self):
         """Synthetic swin_tiny_patch4_window7_224-style state dict converts

@@ -190,7 +190,7 @@ def main():
         evaluate(eval_step, params, cfg, logger)
         return
 
-    train_step = make_train_step(model, criterion, tx)
+    train_step = make_train_step(model, criterion, tx, seed=max(cfg.SEED, 0))
     dataset = build_train_dataset(cfg)
     sampler = ShardedBatchSampler(
         len(dataset), cfg.SOLVER.IMS_PER_BATCH,
@@ -212,19 +212,24 @@ def main():
     metric_logger.add_meter("lr", SmoothedValue(window_size=1, fmt="{value:.7f}"))
     logger.info("Start training")
 
+    log_freq = 20  # reference logs every 20 iters (main.py:412)
     while total_steps < cfg.SOLVER.MAX_ITER:
         header = f"Epoch: [{epoch}]"
-        for batch in metric_logger.log_every(loader, 20, header, logger=logger):
+        for batch in metric_logger.log_every(loader, log_freq, header, logger=logger):
             device_batch = shard_batch(batch, mesh)
             params, opt_state, losses = train_step(params, opt_state, device_batch, total_steps)
 
-            metric_logger.update(lr=float(schedule(total_steps)))
-            metric_logger.update(**{k: float(v) for k, v in losses.items()})
-            if writer is not None:
-                for k, v in losses.items():
-                    writer.add_scalar(f"train/{k}", float(v), total_steps)
-
             total_steps += 1
+            # Loss scalars stay on device between log points — a host
+            # readback every step would serialize the async dispatch queue
+            # and stall the TPU on the host round-trip.
+            if total_steps % log_freq == 0 or total_steps == cfg.SOLVER.MAX_ITER:
+                host_losses = {k: float(v) for k, v in losses.items()}
+                metric_logger.update(lr=float(np.asarray(schedule(total_steps - 1))))
+                metric_logger.update(**host_losses)
+                if writer is not None:
+                    for k, v in host_losses.items():
+                        writer.add_scalar(f"train/{k}", v, total_steps - 1)
             if (total_steps % cfg.SOLVER.LATEST_CHECKPOINT_PERIOD == 0
                     or total_steps % cfg.SOLVER.CHECKPOINT_PERIOD == 0
                     or total_steps == cfg.SOLVER.MAX_ITER):
