@@ -11,7 +11,7 @@ Behavioral parity targets:
 """
 
 import math
-from typing import List, Sequence, Tuple
+from typing import Any, List, Sequence, Tuple
 
 import numpy as np
 import jax
@@ -25,6 +25,11 @@ from .swin import SwinTransformer
 
 class AdaptorLayerNorm(nn.LayerNorm):
     epsilon: float = 1e-6  # reference adaptor norm eps (adaptor_modules.py:74)
+    dtype: Any = jnp.float32  # norms always compute/return float32
+
+
+def _cast(x, dtype):
+    return x.astype(dtype) if dtype is not None else x
 
 
 def _offset_bias_init(n_heads, n_levels, n_points):
@@ -52,6 +57,7 @@ class MSDeformAttn(nn.Module):
     n_heads: int = 8
     n_points: int = 4
     ratio: float = 1.0
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, query, reference_points, input_flatten,
@@ -64,19 +70,20 @@ class MSDeformAttn(nn.Module):
         S = input_flatten.shape[1]
         v_dim = int(self.d_model * self.ratio)
 
-        value = Dense(v_dim, kernel_init=_xavier_uniform, name="value_proj")(input_flatten)
+        value = Dense(v_dim, kernel_init=_xavier_uniform, dtype=self.dtype,
+                      name="value_proj")(input_flatten)
         value = value.reshape(B, S, self.n_heads, v_dim // self.n_heads)
 
         offsets = Dense(self.n_heads * self.n_levels * self.n_points * 2,
                         kernel_init=nn.initializers.zeros,
                         bias_init=lambda k, s, d=jnp.float32: jnp.asarray(
                             _offset_bias_init(self.n_heads, self.n_levels, self.n_points), d),
-                        name="sampling_offsets")(query)
+                        name="sampling_offsets")(query.astype(jnp.float32))
         offsets = offsets.reshape(B, Lq, self.n_heads, self.n_levels, self.n_points, 2)
 
         weights = Dense(self.n_heads * self.n_levels * self.n_points,
                         kernel_init=nn.initializers.zeros,
-                        name="attention_weights")(query)
+                        name="attention_weights")(query.astype(jnp.float32))
         weights = jax.nn.softmax(
             weights.reshape(B, Lq, self.n_heads, self.n_levels * self.n_points), -1)
         weights = weights.reshape(B, Lq, self.n_heads, self.n_levels, self.n_points)
@@ -86,8 +93,10 @@ class MSDeformAttn(nn.Module):
         locations = (reference_points[:, :, None, :, None, :]
                      + offsets / normalizer[None, None, None, :, None, :])
 
-        out = ms_deform_attn(value, spatial_shapes, locations, weights)
-        return Dense(self.d_model, kernel_init=_xavier_uniform, name="output_proj")(out)
+        out = ms_deform_attn(value, spatial_shapes, locations,
+                             weights.astype(value.dtype))
+        return Dense(self.d_model, kernel_init=_xavier_uniform,
+                     dtype=self.dtype, name="output_proj")(out)
 
 
 class ConvFFN(nn.Module):
@@ -96,23 +105,24 @@ class ConvFFN(nn.Module):
     hidden: int
     out: int
     drop: float = 0.0
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, H, W, deterministic: bool = True):
         B, N, C = x.shape
-        x = Dense(self.hidden, name="fc1")(x)
+        x = Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
         xs = x.reshape(B, H, W, self.hidden)
         kernel = self.param("dwconv_kernel", nn.initializers.variance_scaling(
             2.0, "fan_out", "truncated_normal"), (3, 3, 1, self.hidden))
         bias = self.param("dwconv_bias", nn.initializers.zeros, (self.hidden,))
         xs = jax.lax.conv_general_dilated(
-            xs, kernel, (1, 1), ((1, 1), (1, 1)),
+            xs, _cast(kernel, self.dtype), (1, 1), ((1, 1), (1, 1)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            feature_group_count=self.hidden) + bias
+            feature_group_count=self.hidden) + _cast(bias, self.dtype)
         x = xs.reshape(B, N, self.hidden)
         x = gelu_exact(x)
         x = nn.Dropout(self.drop, deterministic=deterministic)(x)
-        x = Dense(self.out, name="fc2")(x)
+        x = Dense(self.out, dtype=self.dtype, name="fc2")(x)
         return nn.Dropout(self.drop, deterministic=deterministic)(x)
 
 
@@ -127,20 +137,25 @@ class Extractor(nn.Module):
     cffn_ratio: float = 0.25
     drop: float = 0.0
     drop_path: float = 0.0
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, query, reference_points, feat, spatial_shapes, H, W,
                  deterministic: bool = True):
         attn = MSDeformAttn(self.dim, self.n_levels, self.num_heads,
-                            self.n_points, self.deform_ratio, name="attn")(
-            AdaptorLayerNorm(name="query_norm")(query), reference_points,
-            AdaptorLayerNorm(name="feat_norm")(feat), spatial_shapes)
+                            self.n_points, self.deform_ratio,
+                            dtype=self.dtype, name="attn")(
+            _cast(AdaptorLayerNorm(name="query_norm")(query), self.dtype),
+            reference_points,
+            _cast(AdaptorLayerNorm(name="feat_norm")(feat), self.dtype),
+            spatial_shapes)
         query = query + attn
         ffn = ConvFFN(int(self.dim * self.cffn_ratio), self.dim,
-                      self.drop, name="ffn")
+                      self.drop, dtype=self.dtype, name="ffn")
         dp = DropPath(self.drop_path)
         query = query + dp(
-            ffn(AdaptorLayerNorm(name="ffn_norm")(query), H, W, deterministic),
+            ffn(_cast(AdaptorLayerNorm(name="ffn_norm")(query), self.dtype),
+                H, W, deterministic),
             deterministic)
         return query
 
@@ -150,15 +165,18 @@ class ConvStem(nn.Module):
 
     inplanes: int = 64
     out_channels: int = 256
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
+        x = _cast(x, self.dtype)
         for i, stride in enumerate([2, 1, 1]):
             x = Conv(self.inplanes, (3, 3), strides=stride, padding=1,
-                     use_bias=False, name=f"stem_{i}")(x)
-            x = jax.nn.relu(instance_norm_2d(x))
+                     use_bias=False, dtype=self.dtype, name=f"stem_{i}")(x)
+            x = jax.nn.relu(_cast(instance_norm_2d(x.astype(jnp.float32)),
+                                  self.dtype))
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
-        x = Conv(self.out_channels, (1, 1), name="fc")(x)
+        x = Conv(self.out_channels, (1, 1), dtype=self.dtype, name="fc")(x)
         B, H, W, C = x.shape
         return x.reshape(B, H * W, C)
 
@@ -184,23 +202,25 @@ class DeformNeck(nn.Module):
     drop_path: float = 0.0
     cffn_ratio: float = 0.25
     deform_ratio: float = 1.0
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, image, features: List[jnp.ndarray], deterministic: bool = True):
         """image: [B, H, W, 3]; features: [p0..p3] channel-last. -> [B, H/4, W/4, dim]"""
         B, H_img, W_img, _ = image.shape
         H, W = H_img // 4, W_img // 4
-        c = ConvStem(64, self.dim, name="stem")(image)
+        c = ConvStem(64, self.dim, dtype=self.dtype, name="stem")(image)
         ref = get_reference_points([(H, W)])
 
         for idx, feat in enumerate(features):
             fb, fh, fw, fc = feat.shape
             flat = feat.reshape(fb, fh * fw, fc)
-            flat = AdaptorLayerNorm(name=f"fcs_{idx}_norm")(flat)
-            flat = Dense(self.dim, name=f"fcs_{idx}_linear")(flat)
+            flat = _cast(AdaptorLayerNorm(name=f"fcs_{idx}_norm")(flat), self.dtype)
+            flat = Dense(self.dim, dtype=self.dtype, name=f"fcs_{idx}_linear")(flat)
             c = Extractor(self.dim, self.num_heads, self.n_points, 1,
                           self.deform_ratio, self.cffn_ratio, self.drop,
-                          self.drop_path, name=f"extractors_{idx}")(
+                          self.drop_path, dtype=self.dtype,
+                          name=f"extractors_{idx}")(
                 c, ref, flat, [(fh, fw)], H, W, deterministic)
         return c.reshape(B, H, W, self.dim)
 
@@ -215,16 +235,19 @@ class SwinAdaptor(nn.Module):
 
     out_channels: int
     drop_path_rate: float = 0.0
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         x = (x - _IMAGENET_MEAN) / _IMAGENET_STD  # out-of-place (defect §2.9.7 fixed)
         outs = SwinTransformer(
             embed_dim=96, depths=(2, 2, 6, 2), num_heads=(3, 6, 12, 24),
-            drop_path_rate=self.drop_path_rate, name="backbone")(x, deterministic)
+            drop_path_rate=self.drop_path_rate, dtype=self.dtype,
+            name="backbone")(x, deterministic)
         features = [outs[f"p{i}"] for i in range(4)]
         out = DeformNeck(self.out_channels, [96, 192, 384, 768],
-                         drop_path=0.0, deform_ratio=0.5, name="neck")(
+                         drop_path=0.0, deform_ratio=0.5, dtype=self.dtype,
+                         name="neck")(
             x, features, deterministic)
         pooled = nn.avg_pool(out, (2, 2), strides=(2, 2))
         return [out, pooled]

@@ -104,7 +104,8 @@ class NMRF(nn.Module):
             from .adaptor import SwinAdaptor
             self.image_encoder = SwinAdaptor(
                 out_channels=self.backbone_out_channels,
-                drop_path_rate=self.backbone_drop_path, name="backbone")
+                drop_path_rate=self.backbone_drop_path,
+                dtype=self.dtype, name="backbone")
         else:
             raise ValueError(f"unknown backbone {self.backbone_type}")
 

@@ -7,7 +7,7 @@ position bias, -100.0 shifted-window mask fill, no output norms); outputs a
 """
 
 from functools import lru_cache
-from typing import Sequence
+from typing import Any, Sequence
 
 import numpy as np
 import jax
@@ -20,6 +20,11 @@ from .nmp import _relative_position_index
 
 class SwinLayerNorm(nn.LayerNorm):
     epsilon: float = 1e-5
+    dtype: Any = jnp.float32  # norms always compute/return float32
+
+
+def _cast(x, dtype):
+    return x.astype(dtype) if dtype is not None else x
 
 
 @lru_cache(maxsize=32)
@@ -51,6 +56,7 @@ class WindowAttention(nn.Module):
     num_heads: int
     attn_drop: float = 0.0
     proj_drop: float = 0.0
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, mask=None, deterministic: bool = True):
@@ -59,7 +65,7 @@ class WindowAttention(nn.Module):
         h = self.num_heads
         hd = C // h
         scale = hd ** -0.5
-        qkv = Dense(3 * C, name="qkv")(x).reshape(B_, N, 3, h, hd)
+        qkv = Dense(3 * C, dtype=self.dtype, name="qkv")(x).reshape(B_, N, 3, h, hd)
         qkv = qkv.transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0] * scale, qkv[1], qkv[2]
         attn = jnp.einsum("bhic,bhjc->bhij", q, k)
@@ -68,7 +74,7 @@ class WindowAttention(nn.Module):
                            ((2 * self.window_size - 1) ** 2, h))
         idx = _relative_position_index(self.window_size, self.window_size)
         bias = table[idx.reshape(-1)].reshape(N, N, h).transpose(2, 0, 1)
-        attn = attn + bias[None]
+        attn = attn.astype(jnp.float32) + bias[None]  # softmax path in f32
 
         if mask is not None:
             nW = mask.shape[0]
@@ -76,9 +82,9 @@ class WindowAttention(nn.Module):
             attn = attn.reshape(B_, h, N, N)
         attn = jax.nn.softmax(attn, axis=-1)
         attn = nn.Dropout(self.attn_drop, deterministic=deterministic)(attn)
-        out = jnp.einsum("bhij,bhjc->bhic", attn, v)
+        out = jnp.einsum("bhij,bhjc->bhic", attn.astype(v.dtype), v)
         out = out.transpose(0, 2, 1, 3).reshape(B_, N, C)
-        out = Dense(C, name="proj")(out)
+        out = Dense(C, dtype=self.dtype, name="proj")(out)
         return nn.Dropout(self.proj_drop, deterministic=deterministic)(out)
 
 
@@ -93,6 +99,7 @@ class SwinBlock(nn.Module):
     drop: float = 0.0
     attn_drop: float = 0.0
     drop_path: float = 0.0
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -100,7 +107,7 @@ class SwinBlock(nn.Module):
         B, H, W, C = x.shape
         ws = self.window_size
         shortcut = x
-        x = SwinLayerNorm(name="norm1")(x)
+        x = _cast(SwinLayerNorm(name="norm1")(x), self.dtype)
         pad_b = (ws - H % ws) % ws
         pad_r = (ws - W % ws) % ws
         x = jnp.pad(x, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
@@ -115,7 +122,8 @@ class SwinBlock(nn.Module):
         xw = x.reshape(B, Hp // ws, ws, Wp // ws, ws, C)
         xw = xw.transpose(0, 1, 3, 2, 4, 5).reshape(-1, ws * ws, C)
         attn = WindowAttention(self.dim, ws, self.num_heads, self.attn_drop,
-                               self.drop, name="attn")(xw, mask, deterministic)
+                               self.drop, dtype=self.dtype,
+                               name="attn")(xw, mask, deterministic)
         x = attn.reshape(B, Hp // ws, Wp // ws, ws, ws, C)
         x = x.transpose(0, 1, 3, 2, 4, 5).reshape(B, Hp, Wp, C)
 
@@ -126,9 +134,10 @@ class SwinBlock(nn.Module):
         drop_path = DropPath(self.drop_path)
         x = shortcut + drop_path(x, deterministic)
         mlp = Mlp(int(self.dim * self.mlp_ratio), self.dim, act=gelu_exact,
-                  drop=self.drop, name="mlp")
-        x = x + drop_path(mlp(SwinLayerNorm(name="norm2")(x), deterministic),
-                          deterministic)
+                  drop=self.drop, dtype=self.dtype, name="mlp")
+        x = x + drop_path(
+            mlp(_cast(SwinLayerNorm(name="norm2")(x), self.dtype), deterministic),
+            deterministic)
         return x
 
 
@@ -136,6 +145,7 @@ class PatchMerging(nn.Module):
     """2x2 patch merging (reference swin.py:308-345)."""
 
     dim: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
@@ -146,8 +156,9 @@ class PatchMerging(nn.Module):
         x2 = x[:, 0::2, 1::2]
         x3 = x[:, 1::2, 1::2]
         x = jnp.concatenate([x0, x1, x2, x3], axis=-1)
-        x = SwinLayerNorm(name="norm")(x)
-        return Dense(2 * self.dim, use_bias=False, name="reduction")(x)
+        x = _cast(SwinLayerNorm(name="norm")(x), self.dtype)
+        return Dense(2 * self.dim, use_bias=False, dtype=self.dtype,
+                     name="reduction")(x)
 
 
 class SwinTransformer(nn.Module):
@@ -167,14 +178,16 @@ class SwinTransformer(nn.Module):
     drop_path_rate: float = 0.2
     patch_norm: bool = True
     out_indices: Sequence[int] = (0, 1, 2, 3)
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         # patch embed: conv 4x4 stride 4 (reference swin.py:474-493)
-        x = Conv(self.embed_dim, (4, 4), strides=4,
+        x = _cast(x, self.dtype)
+        x = Conv(self.embed_dim, (4, 4), strides=4, dtype=self.dtype,
                  kernel_init=trunc_normal_init, name="patch_embed_proj")(x)
         if self.patch_norm:
-            x = SwinLayerNorm(name="patch_embed_norm")(x)
+            x = _cast(SwinLayerNorm(name="patch_embed_norm")(x), self.dtype)
         x = nn.Dropout(self.drop_rate, deterministic=deterministic)(x)
 
         total_depth = sum(self.depths)
@@ -189,11 +202,13 @@ class SwinTransformer(nn.Module):
                     dim, self.num_heads[i], self.window_size,
                     0 if d % 2 == 0 else self.window_size // 2,
                     self.mlp_ratio, self.drop_rate, self.attn_drop_rate,
-                    dpr[blk_idx], name=f"layers_{i}_blocks_{d}")(x, deterministic)
+                    dpr[blk_idx], dtype=self.dtype,
+                    name=f"layers_{i}_blocks_{d}")(x, deterministic)
                 blk_idx += 1
             if i in self.out_indices:
                 outs[f"p{i}"] = x
             if i < len(self.depths) - 1:
-                x = PatchMerging(dim, name=f"layers_{i}_downsample")(x)
+                x = PatchMerging(dim, dtype=self.dtype,
+                                 name=f"layers_{i}_downsample")(x)
                 dim *= 2
         return outs

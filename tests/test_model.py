@@ -137,3 +137,50 @@ class TestLowerMedianPool:
         x = jnp.asarray(np.full((1, 4, 4), 3.0, np.float32))
         got = _lower_median_pool(x, 4)
         np.testing.assert_allclose(np.asarray(got), [[[3.0]]])
+
+
+class TestBF16Path:
+    """bfloat16 compute path: runs both backbones and stays close to the f32
+    reference output (norms/softmax/disparity arithmetic pinned to f32)."""
+
+    @pytest.mark.parametrize("backbone", ["resnet", "swin"])
+    def test_bf16_close_to_f32(self, backbone):
+        B, H, W = 1, 64, 128
+        rng = np.random.RandomState(3)
+        img1 = jnp.asarray(rng.rand(B, H, W, 3).astype(np.float32) * 255)
+        img2 = jnp.asarray(rng.rand(B, H, W, 3).astype(np.float32) * 255)
+
+        outs = {}
+        for dt in ("float32", "bfloat16"):
+            cfg = get_cfg()
+            cfg.DPN.MAX_DISP = 64
+            cfg.BACKBONE.MODEL_TYPE = backbone
+            cfg.TPU.COMPUTE_DTYPE = dt
+            cfg.freeze()
+            model, _ = build_model(cfg)
+            params = jax.jit(
+                lambda r, m=model: m.init(r, img1, img2, train=False)
+            )(jax.random.PRNGKey(0))
+            out = jax.jit(
+                lambda p, a, b, m=model: m.apply(p, a, b, train=False)
+            )(params, img1, img2)
+            outs[dt] = {k: np.asarray(v) for k, v in out.items()}
+            # same params regardless of dtype (compute-only cast)
+            shapes = sorted(
+                (jax.tree_util.keystr(p), v.shape)
+                for p, v in jax.tree_util.tree_flatten_with_path(params)[0])
+            if dt == "float32":
+                f32_shapes = shapes
+            else:
+                assert shapes == f32_shapes
+
+        assert outs["bfloat16"]["disp"].dtype == np.float32
+        for k in ("disp", "disp_pred"):
+            d = np.abs(outs["bfloat16"][k] - outs["float32"][k])
+            # Random-init weights make prob near-uniform, so topk/argmax
+            # selections flip under bf16 noise and dominate the tail; the
+            # continuous bulk must track f32 tightly.  (Trained weights give
+            # decisive selections — on-chip eval covers that regime.)
+            assert np.quantile(d, 0.5) < 0.2, (k, np.quantile(d, 0.5))
+        dp = np.abs(outs["bfloat16"]["prob"] - outs["float32"]["prob"])
+        assert dp.max() < 0.15, dp.max()
