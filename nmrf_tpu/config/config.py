@@ -159,6 +159,10 @@ def _decode_override(value: str, old: Any):
             return float(decoded)
         except ValueError:
             pass
+    # yacs parity: CLI values are literal_eval'd, so tuple/list overrides like
+    # DATASETS.TRAIN '("sceneflow",)' work (yacs config.py _decode_cfg_value)
+    if isinstance(decoded, str) and not isinstance(old, str):
+        decoded = _literal_coerce(decoded)
     return decoded
 
 

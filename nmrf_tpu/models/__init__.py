@@ -4,9 +4,13 @@ from .losses import Criterion
 from .nmrf import NMRF
 
 
-def build_model(cfg):
-    """Construct (NMRF flax module, Criterion) from a config tree."""
+def build_model(cfg, spatial_axis=None):
+    """Construct (NMRF flax module, Criterion) from a config tree.
+
+    spatial_axis: mesh axis name to H-shard the decode region under
+    shard_map (set when cfg.TPU.MESH_SPATIAL > 1; parallel/mesh.py)."""
     model = NMRF(
+        spatial_axis=spatial_axis,
         backbone_type=cfg.BACKBONE.MODEL_TYPE,
         backbone_out_channels=cfg.BACKBONE.OUT_CHANNELS,
         backbone_drop_path=cfg.BACKBONE.DROP_PATH,

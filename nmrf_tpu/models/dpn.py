@@ -35,6 +35,7 @@ class DPN(nn.Module):
     dropout: float = 0.0
     normalize_before: bool = False
     dtype: Any = None
+    spatial_axis: Any = None
 
     @nn.compact
     def __call__(self, cost_volume, fmap1_list, deterministic: bool = True):
@@ -65,6 +66,7 @@ class DPN(nn.Module):
 
         # ---- step 2: label seed propagation ---- #
         context = ConvINReluConv(128, self.context_dim, dtype=self.dtype,
+                                 spatial_axis=self.spatial_axis,
                                  name="proj")(fmap1_list[0])
         memory, seeds_f = Propagation(
             embed_dim=self.prop_embed_dim,
@@ -82,6 +84,7 @@ class DPN(nn.Module):
             normalize_before=self.normalize_before,
             return_intermediate=False,
             dtype=self.dtype,
+            spatial_axis=self.spatial_axis,
             name="propagation",
         )(flat, label_seeds, context, deterministic)
         # memory: [L, B, H, W, N, C]

@@ -140,17 +140,31 @@ class ConvINReluConv(nn.Module):
 
     The projection stack used for concatconv/gw/context (``NMRF.py:56-65``,
     ``DPN.py:45-49``).  Instance-norm statistics stay in float32.
+
+    spatial_axis: mesh axis name when running H-sharded under shard_map —
+    the 3x3 conv exchanges a 1-row halo between neighbor tiles (zero-filled
+    at global edges, matching 'same' zero padding) and the instance-norm
+    statistics are pmean'd to the global spatial extent.
     """
 
     mid_channels: int
     out_channels: int
     dtype: Any = None
+    spatial_axis: Any = None
 
     @nn.compact
     def __call__(self, x):
-        x = Conv(self.mid_channels, (3, 3), padding=1, use_bias=False,
-                 dtype=self.dtype, name="conv1")(x)
-        x = instance_norm_2d(x.astype(jnp.float32))
+        if self.spatial_axis is not None:
+            from ..parallel.spatial import halo_exchange_h, instance_norm_2d_sharded
+
+            x = halo_exchange_h(x, 1, self.spatial_axis, h_axis=1)
+            x = Conv(self.mid_channels, (3, 3), padding=((0, 0), (1, 1)),
+                     use_bias=False, dtype=self.dtype, name="conv1")(x)
+            x = instance_norm_2d_sharded(x, self.spatial_axis)
+        else:
+            x = Conv(self.mid_channels, (3, 3), padding=1, use_bias=False,
+                     dtype=self.dtype, name="conv1")(x)
+            x = instance_norm_2d(x.astype(jnp.float32))
         if self.dtype is not None:
             x = x.astype(self.dtype)
         x = jax.nn.relu(x)

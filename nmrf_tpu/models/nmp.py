@@ -147,6 +147,9 @@ class WindowAttention(nn.Module):
     # back to the XLA path when attention dropout is active
     use_pallas: bool = False
     pallas_interpret: bool = False
+    # mesh axis name when H is sharded under shard_map: the shifted-window
+    # cyclic roll becomes a ppermute ring exchange (parallel/spatial.py)
+    spatial_axis: Any = None
 
     @nn.compact
     def __call__(self, qkv, attn_mask, deterministic: bool = True, shift=None):
@@ -168,8 +171,20 @@ class WindowAttention(nn.Module):
 
         if shift is None:
             shift = self.shift_size
-        if not (isinstance(shift, int) and shift == 0):
-            qkv = jnp.roll(qkv, (-shift, -shift), axis=(1, 2))
+        static_zero = isinstance(shift, int) and shift == 0
+        if not static_zero:
+            if self.spatial_axis is not None:
+                # Per-layer shifts in the scan stack are 0 or wh//2: roll by
+                # the static wh//2 (H-roll = ppermute ring, W-roll local)
+                # and select by the traced per-layer shift.
+                from ..parallel.spatial import global_roll_h
+
+                s_ = wh // 2
+                rolled = global_roll_h(qkv, -s_, self.spatial_axis, h_axis=1)
+                rolled = jnp.roll(rolled, -s_, axis=2)
+                qkv = jnp.where(shift > 0, rolled, qkv)
+            else:
+                qkv = jnp.roll(qkv, (-shift, -shift), axis=(1, 2))
 
         # window partition: [B*nW, h, T, 3hd] with token order (hs, ws, n)
         nwh, nww = H // wh, W // ww
@@ -190,7 +205,7 @@ class WindowAttention(nn.Module):
         q_embed, k_embed, v_embed = jnp.split(rpe, 3, axis=-1)
 
         Bw = q.shape[0]
-        use_pallas = self.use_pallas and (
+        use_pallas = self.use_pallas and self.spatial_axis is None and (
             self.attn_drop == 0.0 or deterministic)
         if use_pallas:
             from ..ops.pallas.window_attention import (
@@ -216,7 +231,7 @@ class WindowAttention(nn.Module):
                 out = window_attention_op(q5, k5, v5, ke, qe, ve, mask5, scale)
             out = out.reshape(B, nwh, nww, h, wh, ww, N, hd)
             out = out.transpose(0, 1, 4, 2, 5, 6, 3, 7).reshape(B, H, W, N, self.dim)
-            if not (isinstance(shift, int) and shift == 0):
+            if not static_zero:
                 out = jnp.roll(out, (shift, shift), axis=(1, 2))
             return out
         q = q * scale
@@ -253,8 +268,16 @@ class WindowAttention(nn.Module):
         # un-partition
         out = out.reshape(B, nwh, nww, h, wh, ww, N, hd)
         out = out.transpose(0, 1, 4, 2, 5, 6, 3, 7).reshape(B, H, W, N, self.dim)
-        if not (isinstance(shift, int) and shift == 0):
-            out = jnp.roll(out, (shift, shift), axis=(1, 2))
+        if not static_zero:
+            if self.spatial_axis is not None:
+                from ..parallel.spatial import global_roll_h
+
+                s_ = wh // 2
+                rolled = jnp.roll(out, s_, axis=2)
+                rolled = global_roll_h(rolled, s_, self.spatial_axis, h_axis=1)
+                out = jnp.where(shift > 0, rolled, out)
+            else:
+                out = jnp.roll(out, (shift, shift), axis=(1, 2))
         return out
 
 
@@ -285,6 +308,7 @@ class SwinNMP(nn.Module):
     normalize_before: bool = False
     dtype: Any = None
     use_pallas: bool = False
+    spatial_axis: Any = None
 
     @nn.compact
     def __call__(self, label_rep, abs_encoding, attn_mask,
@@ -304,7 +328,8 @@ class SwinNMP(nn.Module):
         msg = WindowAttention(
             self.dim, (self.window_size, self.window_size), self.shift_size,
             self.num_heads, self.attn_drop, dtype=self.dtype,
-            use_pallas=self.use_pallas, name="attn",
+            use_pallas=self.use_pallas, spatial_axis=self.spatial_axis,
+            name="attn",
         )(qkv, attn_mask, deterministic, shift=shift)
         msg = Dense(self.dim, dtype=self.dtype, name="proj")(msg)
         msg = nn.Dropout(self.drop, deterministic=deterministic)(msg)
@@ -340,6 +365,10 @@ class CSWinAttention(nn.Module):
     num_heads: int = 8
     attn_drop: float = 0.0
     dtype: Any = None
+    # mesh axis name when H is sharded under shard_map: vertical stripes
+    # (idx=0) span the global H — queries stay local, keys/values are
+    # all-gathered along the axis (the CSWin analog of ring attention)
+    spatial_axis: Any = None
 
     @nn.compact
     def __call__(self, query, key, value, deterministic: bool = True):
@@ -349,12 +378,24 @@ class CSWinAttention(nn.Module):
         hd = self.dim // h
         scale = hd ** -0.5
 
+        kernel = self.param("get_v_kernel", _torch_conv_default_init,
+                            (3, 3, 1, self.dim))  # HWIO, depthwise
+        if self.dtype is not None:
+            kernel = kernel.astype(self.dtype)
+
+        if self.spatial_axis is not None and self.idx == 0:
+            return self._vertical_sharded(query, key, value, kernel,
+                                          deterministic)
+
         if self.idx == 0:
             H_sp, W_sp = H, self.split_size
         elif self.idx == 1:
             H_sp, W_sp = self.split_size, W
         else:
             H_sp, W_sp = H, W
+        if self.spatial_axis is not None:
+            # horizontal stripes must not cross tile boundaries
+            assert H % H_sp == 0, (H, H_sp)
 
         # pad to stripe multiples (centered, reference NMP.py:474-485)
         H_pad = (H_sp - H % H_sp) % H_sp
@@ -378,10 +419,6 @@ class CSWinAttention(nn.Module):
         # identical math (depthwise = per-channel elementwise), and the XLA
         # TPU backward of a depthwise conv over degenerate width-1 stripe
         # images produces NaN kernel gradients (observed on v5e).
-        kernel = self.param("get_v_kernel", _torch_conv_default_init,
-                            (3, 3, 1, self.dim))  # HWIO, depthwise
-        if self.dtype is not None:
-            kernel = kernel.astype(self.dtype)
         vs = v.reshape(B, ni, H_sp, nj, W_sp, N, self.dim)
         vs = vs.transpose(0, 1, 3, 5, 2, 4, 6).reshape(B * ni * nj * N, H_sp, W_sp, self.dim)
         vs_pad = jnp.pad(vs, ((0, 0), (1, 1), (1, 1), (0, 0)))
@@ -419,6 +456,86 @@ class CSWinAttention(nn.Module):
         return out[:, tp:tp + H, lp:lp + W]
 
 
+    def _vertical_sharded(self, query, key, value, kernel,
+                          deterministic: bool = True):
+        """Vertical stripes (H_sp = GLOBAL H) under H-sharding.
+
+        Reference semantics NMP.py:401-505 with the stripe spanning the full
+        image column; this is the model's long-context axis (SURVEY.md §5):
+        local queries attend to the all-gathered global stripe, and the
+        depthwise positional term is computed on the gathered column with
+        this tile's rows sliced out (crossing-tile taps included exactly).
+        """
+        from jax import lax
+
+        from ..parallel.spatial import all_gather_h
+
+        B, H, W, N, C = query.shape  # H = local tile height
+        h = self.num_heads
+        hd = self.dim // h
+        scale = hd ** -0.5
+        W_sp = self.split_size
+        n = lax.axis_size(self.spatial_axis)
+        tix = lax.axis_index(self.spatial_axis)
+        Hg = H * n
+
+        W_pad = (W_sp - W % W_sp) % W_sp
+        lp = W_pad // 2
+        rp = W_pad - lp
+        pad = ((0, 0), (0, 0), (lp, rp), (0, 0), (0, 0))
+        q = jnp.pad(query, pad)
+        kf = all_gather_h(jnp.pad(key, pad), self.spatial_axis, h_axis=1)
+        vf = all_gather_h(jnp.pad(value, pad), self.spatial_axis, h_axis=1)
+        Wp = W + W_pad
+        nj = Wp // W_sp
+
+        def to_stripes(t, Hs):
+            t = t.reshape(B, Hs, nj, W_sp, N, h, hd)
+            return t.transpose(0, 2, 5, 1, 3, 4, 6).reshape(
+                B * nj, h, Hs * W_sp * N, hd)
+
+        qs = to_stripes(q, H)
+        ks = to_stripes(kf, Hg)
+        vv = to_stripes(vf, Hg)
+
+        # positional conv term on the gathered full column; slice local rows
+        vs = vf.reshape(B, Hg, nj, W_sp, N, self.dim)
+        vs = vs.transpose(0, 2, 4, 1, 3, 5).reshape(
+            B * nj * N, Hg, W_sp, self.dim)
+        vs_pad = jnp.pad(vs, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        rpe_full = None
+        for dy in range(3):
+            for dx in range(3):
+                tap = vs_pad[:, dy:dy + Hg, dx:dx + W_sp, :] * kernel[dy, dx, 0]
+                rpe_full = tap if rpe_full is None else rpe_full + tap
+        rpe_full = rpe_full.reshape(B * nj, N, Hg, W_sp, self.dim)
+        rpe_sum = rpe_full.sum(axis=1, keepdims=True)
+        w_center = kernel[1, 1, 0, :]
+        center = vs.reshape(B * nj, N, Hg, W_sp, self.dim) * w_center
+        others = center.sum(axis=1, keepdims=True) - center
+        rpe = rpe_sum - others  # [B*nj, N, Hg, W_sp, dim]
+        rpe = lax.dynamic_slice_in_dim(rpe, tix * H, H, axis=2)
+        rpe = rpe.transpose(0, 2, 3, 1, 4).reshape(
+            B * nj, H * W_sp * N, h, hd).transpose(0, 2, 1, 3)
+
+        # same-pixel mask between local query tokens and global key tokens:
+        # this tile's query rows are a contiguous block of the global mask
+        mfull = window_attn_mask((Hg, W_sp, N))  # [Tg, Tg]
+        tiles = mfull.reshape(n, H * W_sp * N, Hg * W_sp * N)
+        mask = jnp.take(jnp.asarray(tiles), tix, axis=0)
+
+        attn = jnp.einsum("bhic,bhjc->bhij", qs * scale, ks,
+                          preferred_element_type=jnp.float32)
+        attn = attn + mask[None, None]
+        attn = jax.nn.softmax(attn, axis=-1)
+        attn = nn.Dropout(self.attn_drop, deterministic=deterministic)(attn)
+        out = jnp.einsum("bhij,bhjc->bhic", attn.astype(vv.dtype), vv) + rpe
+
+        out = out.transpose(0, 2, 1, 3).reshape(B, nj, H, W_sp, N, self.dim)
+        out = out.transpose(0, 2, 1, 3, 4, 5).reshape(B, H, Wp, N, self.dim)
+        return out[:, :, lp:lp + W]
+
+
 def _torch_conv_default_init(key, shape, dtype=jnp.float32):
     """torch Conv2d default init: kaiming_uniform(a=sqrt(5)) => U(-b, b),
     b = 1/sqrt(fan_in), fan_in = kh*kw*in_ch_per_group (HWIO shape[0:3])."""
@@ -448,6 +565,7 @@ class CSWinNMP(nn.Module):
     act: Callable = gelu_exact
     normalize_before: bool = False
     dtype: Any = None
+    spatial_axis: Any = None
 
     @nn.compact
     def __call__(self, tgt, context, deterministic: bool = True,
@@ -466,7 +584,19 @@ class CSWinNMP(nn.Module):
                 context = context.astype(self.dtype)
         qk = jnp.concatenate([x, context], axis=-1) if context is not None else x
         if self.v_dim > self.dim:
-            pe = fourier_grid_embed((H, W), self.v_dim - self.dim, dtype=x.dtype)
+            if self.spatial_axis is not None:
+                # positional embed indexes GLOBAL rows: build the global
+                # grid and slice this tile's rows
+                from jax import lax as _lax
+
+                from ..parallel.spatial import global_fourier_rows
+
+                n_sp = _lax.axis_size(self.spatial_axis)
+                pe = fourier_grid_embed((H * n_sp, W), self.v_dim - self.dim,
+                                        dtype=x.dtype)
+                pe = global_fourier_rows(pe, H, self.spatial_axis)
+            else:
+                pe = fourier_grid_embed((H, W), self.v_dim - self.dim, dtype=x.dtype)
             pe = jnp.broadcast_to(pe[None, :, :, None, :], (B, H, W, N, self.v_dim - self.dim))
             v_in = jnp.concatenate([x, pe], axis=-1)
         else:
@@ -479,11 +609,13 @@ class CSWinNMP(nn.Module):
         x1 = CSWinAttention(half, idx=0, split_size=self.split_size,
                             num_heads=self.num_heads // 2,
                             attn_drop=self.attn_drop, dtype=self.dtype,
+                            spatial_axis=self.spatial_axis,
                             name="attns_0")(
             query[..., :half], key[..., :half], value[..., :half], deterministic)
         x2 = CSWinAttention(half, idx=1, split_size=self.split_size,
                             num_heads=self.num_heads // 2,
                             attn_drop=self.attn_drop, dtype=self.dtype,
+                            spatial_axis=self.spatial_axis,
                             name="attns_1")(
             query[..., half:], key[..., half:], value[..., half:], deterministic)
         msg = jnp.concatenate([x1, x2], axis=-1)

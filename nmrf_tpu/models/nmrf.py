@@ -91,6 +91,10 @@ class NMRF(nn.Module):
     compute_dtype: str = "float32"
     # fused Pallas window-attention kernel in the NMP stages
     use_pallas: bool = False
+    # mesh axis name when the decode region (cost volume -> disparity) runs
+    # H-sharded inside shard_map; the backbone is sharded by GSPMD outside
+    # (parallel/mesh.py make_sharded_forward)
+    spatial_axis: Any = None
 
     @property
     def dtype(self):
@@ -109,8 +113,11 @@ class NMRF(nn.Module):
         else:
             raise ValueError(f"unknown backbone {self.backbone_type}")
 
-        self.concatconv = ConvINReluConv(128, 64, dtype=self.dtype, name="concatconv")
-        self.gw = ConvINReluConv(128, 256, dtype=self.dtype, name="gw")
+        self.concatconv = ConvINReluConv(128, 64, dtype=self.dtype,
+                                         spatial_axis=self.spatial_axis,
+                                         name="concatconv")
+        self.gw = ConvINReluConv(128, 256, dtype=self.dtype,
+                                 spatial_axis=self.spatial_axis, name="gw")
 
         self.dpn = DPN(
             cost_group=self.cost_group,
@@ -129,6 +136,7 @@ class NMRF(nn.Module):
             dropout=self.dropout,
             normalize_before=self.normalize_before,
             dtype=self.dtype,
+            spatial_axis=self.spatial_axis,
             name="dpn")
 
         self.inference = Inference(
@@ -139,7 +147,8 @@ class NMRF(nn.Module):
             proj_drop=self.proj_drop, drop_path=self.drop_path,
             dropout=self.dropout, normalize_before=self.normalize_before,
             return_intermediate=self.return_intermediate, dtype=self.dtype,
-            use_pallas=self.use_pallas, name="inference")
+            use_pallas=self.use_pallas, spatial_axis=self.spatial_axis,
+            name="inference")
         self.infer_head = MLPBlock(self.infer_embed_dim, 8 * 8, 3, name="infer_head")
         self.infer_score_head = Dense(8 * 8, name="infer_score_head")
 
@@ -152,13 +161,18 @@ class NMRF(nn.Module):
                 proj_drop=self.proj_drop, drop_path=self.drop_path,
                 dropout=self.dropout, normalize_before=self.normalize_before,
                 return_intermediate=self.return_intermediate, dtype=self.dtype,
-                use_pallas=self.use_pallas, name="refinement")
+                use_pallas=self.use_pallas, spatial_axis=self.spatial_axis,
+                name="refinement")
             self.refine_head = MLPBlock(self.infer_embed_dim, 4 * 4, 3, name="refine_head")
 
-    def extract_feature(self, img1, img2):
+    def extract_feature(self, img1, img2, deterministic: bool = True):
         """Batch both images through the backbone; returns per-image feature
         lists ordered low->high res ([1/8, 1/4]), reference NMRF.py:172-187."""
-        feats = self.image_encoder(jnp.concatenate([img1, img2], axis=0))
+        cat = jnp.concatenate([img1, img2], axis=0)
+        if self.backbone_type == "swin":
+            feats = self.image_encoder(cat, deterministic)
+        else:
+            feats = self.image_encoder(cat)
         feats = feats[::-1]  # low to high res
         B = img1.shape[0]
         f1 = [f[:B] for f in feats]
@@ -174,9 +188,23 @@ class NMRF(nn.Module):
           proposal / initial_proposal: [B, H/8*W/8, N]
           (train) coarse_disp/logits: [L_i, B, H, W, N]; disp_pred: [L_r, B, H, W]
         """
+        f1_list, f2_list = self.extract_feature(img1, img2, not train)
+        return self.decode(f1_list, f2_list, train)
+
+    def decode(self, f1_list, f2_list, train: bool = False,
+               spatial_out: bool = False):
+        """Cost volume -> DPN -> NMP inference/refinement -> disparity.
+
+        Split out of ``__call__`` so the spatial-sharded step can run it
+        inside ``shard_map`` (every op here is H-local given the collectives
+        in the NMP modules) while the backbone is sharded by GSPMD.
+
+        spatial_out: return prob/proposals spatially shaped
+        ([B, h8, w8, ...]) instead of flattened, so an H-sharded caller can
+        reassemble the global flat layout outside shard_map.
+        """
         deterministic = not train
-        B = img1.shape[0]
-        f1_list, f2_list = self.extract_feature(img1, img2)
+        B = f1_list[0].shape[0]
 
         cost_volume = correlation_volume(
             f1_list[0], f2_list[0], self.max_disp // 8, self.cost_group)
@@ -223,11 +251,21 @@ class NMRF(nn.Module):
             idx = jnp.argmax(logits[-1], axis=-1, keepdims=True)
             disp = jnp.take_along_axis(coarse[-1], idx, axis=-1).squeeze(-1) * 8
 
+        if spatial_out:
+            # spatially-shaped flat outputs so an H-sharded caller can
+            # concatenate tiles along H and re-flatten globally
+            prob_out = prob.reshape(B, h8, w8, -1)
+            prop_out = labels[-1].reshape(B, h8, w8, self.num_proposals)
+            seed_out = label_seeds.reshape(B, h8, w8, self.num_proposals)
+        else:
+            prob_out = prob
+            prop_out = labels[-1].reshape(B, -1, self.num_proposals)
+            seed_out = label_seeds.reshape(B, -1, self.num_proposals)
         out: Dict[str, Any] = {
             "disp": disp,
-            "prob": prob,
-            "proposal": labels[-1].reshape(B, -1, self.num_proposals),
-            "initial_proposal": label_seeds.reshape(B, -1, self.num_proposals),
+            "prob": prob_out,
+            "proposal": prop_out,
+            "initial_proposal": seed_out,
         }
         if disp_pred is not None:
             out["disp_pred"] = disp_pred[-1]

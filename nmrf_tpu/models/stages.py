@@ -55,6 +55,7 @@ class PropagationLayer(nn.Module):
     dropout: float = 0.0
     normalize_before: bool = False
     dtype: Any = None
+    spatial_axis: Any = None
 
     @nn.compact
     def __call__(self, tgt, context, deterministic: bool = True,
@@ -72,6 +73,7 @@ class PropagationLayer(nn.Module):
             act=get_activation(self.activation),
             normalize_before=self.normalize_before,
             dtype=self.dtype,
+            spatial_axis=self.spatial_axis,
             name="nmp",
         )(tgt, context, deterministic, drop_path_rate=drop_path_rate)
 
@@ -113,6 +115,7 @@ class Propagation(nn.Module):
     normalize_before: bool = False
     return_intermediate: bool = False
     dtype: Any = None
+    spatial_axis: Any = None
 
     @nn.compact
     def __call__(self, cost_volume, label_seed, context, deterministic: bool = True):
@@ -149,6 +152,7 @@ class Propagation(nn.Module):
             ("dropout", self.dropout),
             ("normalize_before", self.normalize_before),
             ("dtype", self.dtype),
+            ("spatial_axis", self.spatial_axis),
         )
         ScanStack = nn.scan(
             _PropScanBody,
@@ -185,6 +189,7 @@ class InferenceLayer(nn.Module):
     normalize_before: bool = False
     dtype: Any = None
     use_pallas: bool = False
+    spatial_axis: Any = None
 
     @nn.compact
     def __call__(self, tgt, abs_encoding, attn_mask, deterministic: bool = True,
@@ -202,7 +207,8 @@ class InferenceLayer(nn.Module):
             self.embed_dim, self.n_heads, self.window_size, 0,
             self.mlp_ratio, self.dropout, self.attn_drop, 0.0,
             get_activation(self.activation), self.normalize_before,
-            dtype=self.dtype, use_pallas=self.use_pallas, name="nmp",
+            dtype=self.dtype, use_pallas=self.use_pallas,
+            spatial_axis=self.spatial_axis, name="nmp",
         )(x, abs_encoding, attn_mask, deterministic, shift=shift,
           drop_path_rate=drop_path_rate)
         return x
@@ -222,6 +228,7 @@ class RefinementLayer(nn.Module):
     normalize_before: bool = False
     dtype: Any = None
     use_pallas: bool = False
+    spatial_axis: Any = None
 
     @nn.compact
     def __call__(self, tgt, abs_encoding, attn_mask, deterministic: bool = True,
@@ -230,7 +237,8 @@ class RefinementLayer(nn.Module):
             self.embed_dim, self.n_heads, self.window_size, 0,
             self.mlp_ratio, self.dropout, self.attn_drop, 0.0,
             get_activation(self.activation), self.normalize_before,
-            dtype=self.dtype, use_pallas=self.use_pallas, name="nmp",
+            dtype=self.dtype, use_pallas=self.use_pallas,
+            spatial_axis=self.spatial_axis, name="nmp",
         )(tgt, abs_encoding, attn_mask, deterministic, shift=shift,
           drop_path_rate=drop_path_rate)
 
@@ -273,6 +281,7 @@ class _NMPStage(nn.Module):
     return_intermediate: bool = False
     dtype: Any = None
     use_pallas: bool = False
+    spatial_axis: Any = None
 
     # refinement=False: candidate mask + normalizer pi/64 (Inference)
     # refinement=True:  no candidate mask + normalizer pi/128 (Refinement)
@@ -310,6 +319,12 @@ class _NMPStage(nn.Module):
         L = self.num_layers
         H_pad = (ws - H % ws) % ws
         W_pad = (ws - W % ws) % ws
+        if self.spatial_axis is not None:
+            # H is a tile of the global image: tiles must be window-aligned
+            # (global H padding would make tile shapes unequal)
+            assert H_pad == 0, (
+                f"spatial sharding requires local H % window == 0, got "
+                f"H={H}, window={ws}")
         tp, lp = H_pad // 2, W_pad // 2
         bp, rp = H_pad - tp, W_pad - lp
         if H_pad or W_pad:
@@ -324,13 +339,28 @@ class _NMPStage(nn.Module):
         else:
             mask0 = np.broadcast_to(window_attn_mask((ws, ws, N))[None],
                                     (nW, ws * ws * N, ws * ws * N))
-        if L >= 2:
-            mask1 = shift_window_attn_mask(
-                (Hp, Wp), (ws, ws, N), ws // 2,
+        if L < 2:
+            mask1 = jnp.asarray(mask0)
+        elif self.spatial_axis is not None:
+            # shifted-window mask of the GLOBAL image, this tile's windows:
+            # after the global cyclic roll only the globally-last tile sees
+            # the H wrap, so masks differ per tile — select by axis index
+            from jax import lax
+
+            from ..parallel.spatial import split_shift_mask_per_tile
+
+            n_tiles = lax.axis_size(self.spatial_axis)
+            mask1_glob = shift_window_attn_mask(
+                (Hp * n_tiles, Wp), (ws, ws, N), ws // 2,
                 with_candidate_mask=not self.refinement)
+            tiles = split_shift_mask_per_tile(mask1_glob, n_tiles)
+            mask1 = jnp.take(jnp.asarray(tiles),
+                             lax.axis_index(self.spatial_axis), axis=0)
         else:
-            mask1 = mask0
-        masks = jnp.asarray(np.stack([mask0, mask1]))  # [2, nW, T, T]
+            mask1 = jnp.asarray(
+                shift_window_attn_mask((Hp, Wp), (ws, ws, N), ws // 2,
+                                       with_candidate_mask=not self.refinement))
+        masks = jnp.stack([jnp.asarray(np.ascontiguousarray(mask0)), mask1])
 
         shifts = jnp.asarray([0 if i % 2 == 0 else ws // 2 for i in range(L)],
                              jnp.int32)
@@ -345,6 +375,7 @@ class _NMPStage(nn.Module):
             ("normalize_before", self.normalize_before),
             ("dtype", self.dtype),
             ("use_pallas", self.use_pallas),
+            ("spatial_axis", self.spatial_axis),
         )
         ScanStack = nn.scan(
             _StageScanBody,

@@ -49,17 +49,112 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: dict, mesh: Mesh) -> dict:
-    """Host->device transfer of a numpy batch dict with batch-axis sharding."""
+    """Host->device transfer of a numpy batch dict: batch axis over `data`,
+    image H axis over `spatial` (when the mesh has one)."""
     sh = batch_sharding(mesh)
+    spatial = mesh.shape.get("spatial", 1) > 1
+    sh_hw = NamedSharding(mesh, P("data", "spatial")) if spatial else sh
     out = {}
     for k, v in batch.items():
         if k == "meta":
             continue
-        out[k] = jax.device_put(np.asarray(v), sh)
+        v = np.asarray(v)
+        out[k] = jax.device_put(v, sh_hw if v.ndim >= 2 else sh)
     return out
 
 
-def make_train_step(model, criterion, tx, seed: int = 0):
+SPATIAL_AXIS = "spatial"
+
+
+def _decode_out_specs(model, train: bool):
+    """PartitionSpecs of NMRF.decode(spatial_out=True) outputs: batch over
+    `data`, H over `spatial` (layer-stacked aux outputs carry a leading L)."""
+    from jax.sharding import PartitionSpec as P
+
+    bh = P("data", SPATIAL_AXIS)
+    lbh = P(None, "data", SPATIAL_AXIS)
+    specs = {"disp": bh, "prob": bh, "proposal": bh, "initial_proposal": bh}
+    if model.with_refinement:
+        specs["disp_pred"] = bh
+    if train and model.aux_loss:
+        specs["coarse_disp_layers"] = lbh
+        specs["logits_layers"] = lbh
+        if model.with_refinement:
+            specs["disp_pred_layers"] = lbh
+    return specs
+
+
+def _unspatial(out):
+    """Global spatial_out layouts -> the reference flat layouts."""
+    out = dict(out)
+    B, h8, w8, D = out["prob"].shape
+    out["prob"] = out["prob"].reshape(B * h8 * w8, D)
+    out["proposal"] = out["proposal"].reshape(B, h8 * w8, -1)
+    out["initial_proposal"] = out["initial_proposal"].reshape(B, h8 * w8, -1)
+    return out
+
+
+def spatial_sharded_apply(model, mesh: Mesh, params, img1, img2,
+                          train: bool = False, rng=None):
+    """Full NMRF forward with the image H axis sharded over the mesh
+    `spatial` axis (model must be built with ``spatial_axis="spatial"``).
+
+    The backbone runs under GSPMD with H-sharded inputs (XLA partitions the
+    convs and inserts halo exchanges); the decode region (cost volume ->
+    disparity) runs inside ``shard_map`` with the explicit collectives in
+    ``parallel/spatial.py`` (ppermute window rolls, CSWin stripe all-gather,
+    conv halos, pmean instance norms).  Output layouts match the unsharded
+    ``model.apply`` bit-for-bit in f32 (tests/test_spatial_model.py).
+
+    Call under jit.  This is the TPU sequence-parallelism analog the
+    reference lacks (SURVEY.md §5 long-context).
+    """
+    import jax.numpy as jnp
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    fspec = NamedSharding(mesh, P("data", SPATIAL_AXIS))
+    img1 = jax.lax.with_sharding_constraint(img1, fspec)
+    img2 = jax.lax.with_sharding_constraint(img2, fspec)
+    rngs = {"dropout": rng} if rng is not None else None
+    f1_list, f2_list = model.apply(
+        params, img1, img2, not train, method="extract_feature",
+        rngs=rngs)
+    f1_list = [jax.lax.with_sharding_constraint(f, fspec) for f in f1_list]
+    f2_list = [jax.lax.with_sharding_constraint(f, fspec) for f in f2_list]
+
+    def body(params, f1_list, f2_list, rng):
+        if rng is not None:
+            rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(SPATIAL_AXIS) + 1)
+            body_rngs = {"dropout": rng}
+        else:
+            body_rngs = None
+        return model.apply(params, f1_list, f2_list, train, True,
+                           method="decode", rngs=body_rngs)
+
+    fn = shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P("data", SPATIAL_AXIS), P("data", SPATIAL_AXIS),
+                  P()),
+        out_specs=_decode_out_specs(model, train),
+        check_vma=False,
+    )
+    return _unspatial(fn(params, f1_list, f2_list, rng))
+
+
+def make_sharded_forward(model, mesh: Mesh):
+    """Jitted eval forward with H sharded over the mesh `spatial` axis."""
+
+    @jax.jit
+    def fwd(params, img1, img2):
+        return spatial_sharded_apply(model, mesh, params, img1, img2,
+                                     train=False)
+
+    return fwd
+
+
+def make_train_step(model, criterion, tx, seed: int = 0, mesh: Mesh = None):
     """Build the jitted sharded train step.
 
     Returns step(params, opt_state, batch, step_idx) -> (params, opt_state,
@@ -67,11 +162,21 @@ def make_train_step(model, criterion, tx, seed: int = 0):
     all-reduce.  A per-step dropout rng is derived from (cfg.SEED, step_idx)
     (used by DropPath/Dropout when the config enables them, e.g. swin
     drop-path).
+
+    When ``mesh`` is given with a `spatial` axis > 1, the forward runs
+    H-sharded (``spatial_sharded_apply``); the criterion is applied to the
+    reassembled global outputs under the same jit, so losses and gradients
+    match the unsharded step exactly (f32).
     """
+    spatial = mesh is not None and mesh.shape.get(SPATIAL_AXIS, 1) > 1
 
     def loss_fn(params, batch, rng):
-        out = model.apply(params, batch["img1"], batch["img2"], train=True,
-                          rngs={"dropout": rng})
+        if spatial:
+            out = spatial_sharded_apply(model, mesh, params, batch["img1"],
+                                        batch["img2"], train=True, rng=rng)
+        else:
+            out = model.apply(params, batch["img1"], batch["img2"], train=True,
+                              rngs={"dropout": rng})
         losses = criterion(out, {"disp": batch["disp"], "valid": batch["valid"]})
         return losses["total"], losses
 

@@ -111,6 +111,24 @@ def sharded_shifted_window_attention(attn_local, x, shift: int,
     return x
 
 
+def instance_norm_2d_sharded(x, axis_name: str, eps: float = 1e-5):
+    """Affine-free instance norm over the GLOBAL spatial extent of an
+    H-sharded [B, H_loc, W, C] tensor (two-pass, matching
+    ``layers.instance_norm_2d`` exactly: mean, then mean of squared
+    deviations — each local mean is pmean'd over equal-size tiles)."""
+    x32 = x.astype(jnp.float32)
+    m = lax.pmean(x32.mean(axis=(1, 2), keepdims=True), axis_name)
+    v = lax.pmean(((x32 - m) ** 2).mean(axis=(1, 2), keepdims=True), axis_name)
+    return (x32 - m) * lax.rsqrt(v + eps)
+
+
+def global_fourier_rows(pe_global, h_loc: int, axis_name: str):
+    """Slice this tile's rows out of a globally-computed [H_glob, ...] row
+    encoding (positional embeddings must index GLOBAL coordinates)."""
+    start = lax.axis_index(axis_name) * h_loc
+    return lax.dynamic_slice_in_dim(pe_global, start, h_loc, axis=0)
+
+
 def split_shift_mask_per_tile(global_mask, n_tiles: int):
     """Split a global shifted-window mask [nW, T, T] into per-tile chunks
     [n_tiles, nW/n_tiles, T, T] (window rows are contiguous in nW when the

@@ -184,13 +184,24 @@ def main():
                 opt_state = tx.init(params)
 
     mesh = make_mesh(cfg.TPU.MESH_DATA, cfg.TPU.MESH_SPATIAL)
-    eval_step = make_eval_step(model)
+    if cfg.TPU.MESH_SPATIAL > 1:
+        # H-sharded decode region (shard_map collectives); same param tree,
+        # bit-identical f32 outputs (tests/test_spatial_model.py)
+        from nmrf_tpu.parallel.mesh import make_sharded_forward
+
+        model_sp, _ = build_model(cfg, spatial_axis="spatial")
+        eval_step = make_sharded_forward(model_sp, mesh)
+        step_model = model_sp
+    else:
+        eval_step = make_eval_step(model)
+        step_model = model
 
     if args.eval_only:
         evaluate(eval_step, params, cfg, logger)
         return
 
-    train_step = make_train_step(model, criterion, tx, seed=max(cfg.SEED, 0))
+    train_step = make_train_step(step_model, criterion, tx,
+                                 seed=max(cfg.SEED, 0), mesh=mesh)
     dataset = build_train_dataset(cfg)
     sampler = ShardedBatchSampler(
         len(dataset), cfg.SOLVER.IMS_PER_BATCH,
