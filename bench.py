@@ -37,6 +37,10 @@ def main():
     from nmrf_tpu.models import build_model
 
     cfg = get_cfg()
+    # bf16 is the TPU deployment dtype for the hot path (norms/softmax/
+    # disparity arithmetic stay f32; parity deltas validated in tests);
+    # override with `TPU.COMPUTE_DTYPE float32` for the f32 number.
+    cfg.TPU.COMPUTE_DTYPE = "bfloat16"
     cfg.merge_from_list(sys.argv[1:])
     cfg.freeze()
 

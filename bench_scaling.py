@@ -1,0 +1,146 @@
+#!/usr/bin/env python
+"""Data-parallel scaling-efficiency harness (BASELINE.md north star: >=80%
+scaling efficiency at N>=2 workers).
+
+Weak-scaling sweep: fixed per-device batch, mesh `data` axis swept over
+1..N devices; efficiency(N) = t(1) / t(N) (ideal weak scaling keeps the
+step time constant as the global batch grows N-fold).
+
+Real multi-chip hardware is not reachable from this environment, so the
+default run uses N virtual CPU devices (`--xla_force_host_platform_device_
+count`) — that validates the sharding/collective structure and measures the
+parallel-efficiency of the compiled program (the collectives are real XLA
+all-reduces over the virtual mesh).  On a real pod slice the same script
+runs unmodified with JAX_PLATFORMS unset (one process per host,
+``train.py --num-hosts`` rendezvous).
+
+Also sweeps one (data x spatial) point to exercise the H-sharded model path.
+
+Writes SCALING.json at the repo root and prints one JSON line per mesh.
+"""
+
+import json
+import os
+import sys
+
+# must precede any jax import (sitecustomize pins the axon platform)
+if "--tpu" not in sys.argv:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np
+
+
+def bench_mesh(cfg, data, spatial, iters=8):
+    import jax
+    import jax.numpy as jnp
+    import time
+
+    from nmrf_tpu.models import build_model
+    from nmrf_tpu.parallel import (make_mesh, make_train_step, replicated,
+                                   shard_batch)
+    from nmrf_tpu.solver import build_optimizer
+
+    n = data * spatial
+    # init with the unsharded module (same param tree); the spatial-axis
+    # module only runs inside shard_map where the axis name is bound
+    model, criterion = build_model(cfg)
+    step_model = model if spatial == 1 else build_model(
+        cfg, spatial_axis="spatial")[0]
+    mesh = make_mesh(data, spatial, devices=jax.devices()[:n])
+
+    # weak scaling: per-data-shard batch fixed at IMS_PER_BATCH
+    B = cfg.SOLVER.IMS_PER_BATCH * data
+    H, W = cfg.DATASETS.CROP_SIZE
+    rng = np.random.RandomState(0)
+    batch_np = {
+        "img1": (rng.rand(B, H, W, 3) * 255).astype(np.float32),
+        "img2": (rng.rand(B, H, W, 3) * 255).astype(np.float32),
+        "disp": (rng.rand(B, H, W) * 40).astype(np.float32),
+        "valid": np.ones((B, H, W), bool),
+    }
+    img0 = jnp.zeros((1, 64, 128, 3), jnp.float32)
+    params = jax.jit(lambda r: model.init(r, img0, img0, train=False))(
+        jax.random.PRNGKey(0))
+    tx, _ = build_optimizer(params, cfg)
+    opt_state = tx.init(params)
+    params = jax.device_put(params, replicated(mesh))
+    opt_state = jax.device_put(opt_state, replicated(mesh))
+    batch = shard_batch(batch_np, mesh)
+    step = make_train_step(step_model, criterion, tx,
+                           mesh=mesh if spatial > 1 else None)
+
+    params, opt_state, losses = step(params, opt_state, batch, 0)  # compile
+    jax.block_until_ready(losses["total"])
+    t0 = time.perf_counter()
+    for i in range(iters):
+        params, opt_state, losses = step(params, opt_state, batch, i + 1)
+    total = float(losses["total"])  # readback closes the pipeline
+    dt = (time.perf_counter() - t0) / iters
+    assert np.isfinite(total), losses
+    return dt
+
+
+def main():
+    from nmrf_tpu.utils.runtime import configure_jax
+
+    configure_jax()
+    import jax
+
+    from nmrf_tpu.config import get_cfg
+
+    cfg = get_cfg()
+    # small-but-representative shapes: every stage (backbone, DPN, both NMP
+    # stacks, refinement) runs; CPU devices make full crops impractical
+    cfg.DPN.MAX_DISP = 64
+    cfg.SOLVER.MAX_DISP = 48
+    cfg.DATASETS.CROP_SIZE = (96, 192)
+    cfg.SOLVER.IMS_PER_BATCH = 1
+    cfg.merge_from_list([a for a in sys.argv[1:] if a != "--tpu"])
+    cfg.freeze()
+
+    n_dev = len(jax.devices())
+    meshes = [(d, 1) for d in (1, 2, 4, 8) if d <= n_dev]
+    if n_dev >= 8:
+        meshes.append((4, 2))  # data x spatial hybrid point
+
+    results = []
+    t1 = None
+    for data, spatial in meshes:
+        dt = bench_mesh(cfg, data, spatial)
+        if t1 is None and data * spatial == 1:
+            t1 = dt
+        eff = (t1 / dt) if t1 else None
+        row = {
+            "mesh": f"data={data}x spatial={spatial}",
+            "devices": data * spatial,
+            "ms_per_step": round(dt * 1000.0, 1),
+            "global_batch": cfg.SOLVER.IMS_PER_BATCH * data,
+            "weak_scaling_efficiency": round(eff, 3) if eff else None,
+        }
+        results.append(row)
+        print(json.dumps(row), flush=True)
+
+    out = {
+        "platform": jax.devices()[0].platform,
+        "crop": list(cfg.DATASETS.CROP_SIZE),
+        "per_device_batch": cfg.SOLVER.IMS_PER_BATCH,
+        "sweep": results,
+    }
+    if out["platform"] == "cpu":
+        out["note"] = (
+            "virtual-device run: validates sharding/collective structure; "
+            "the efficiency column is a LOWER BOUND dominated by host core "
+            "contention (N virtual devices share the cores the 1-device "
+            "run uses via intra-op threading), not collective overhead — "
+            "the north-star >=80% target is judged on real ICI hardware")
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "SCALING.json"), "w") as f:
+        json.dump(out, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

@@ -9,9 +9,11 @@ Behavioral parity target: reference ``nmrf/utils/evaluation.py``:
 The proposal metric follows the reference *intent* (the snapshot's
 ``EVAL_PROP`` path is broken: no ``downsample_disp`` op and no
 ``super_pixel_label`` producer, SURVEY.md §2.1): per-cell min |pooled_gt -
-8*proposal| over candidates, averaged over valid cells.  When a sample
-carries no superpixel labels we fall back to per-cell labels (plain
-valid-mean pooling).
+8*proposal| over candidates, averaged over valid cells.  The superpixel
+labels guiding the GT pooling come from the sample's
+``super_pixel_label`` when present, else are generated on the fly from
+the left image (``data/superpixel.py`` SLIC-lite); the plain valid-mean
+pooling fallback only fires when no image is available either.
 
 Metric math runs in numpy on host — eval batches are size 1 and the model
 call dominates; keeping metrics out of jit avoids shape-dependent recompiles.
@@ -79,19 +81,25 @@ class DispEvaluator:
                 self._thres_metric[t].append(float((epe[val] > float(t)).mean()))
 
             if self._eval_prop and "proposal" in outputs:
+                sp = inputs.get("super_pixel_label")
                 self._process_prop(
                     np.asarray(outputs["proposal"][b]) * 8.0, disp_gt, valid_gt,
-                    inputs.get("super_pixel_label"))
+                    np.asarray(sp[b]) if sp is not None else None,
+                    np.asarray(inputs["img1"][b]) if "img1" in inputs else None)
 
-    def _process_prop(self, proposal, disp_gt, valid_gt, sp_label):
+    def _process_prop(self, proposal, disp_gt, valid_gt, sp_label, image=None):
         from ..ops.downsample import downsample_disp
         import jax.numpy as jnp
 
         gt = np.where(valid_gt, disp_gt, 0.0)
         H, W = gt.shape
         h, w = H // 8, W // 8
+        if sp_label is None and image is not None:
+            from ..data.superpixel import slic_segments
+
+            sp_label = slic_segments(image)
         if sp_label is not None:
-            lab = np.asarray(sp_label[0])
+            lab = np.asarray(sp_label)
             mini = np.asarray(downsample_disp(jnp.asarray(gt[None]),
                                               jnp.asarray(lab[None])))[0]
         else:
