@@ -36,12 +36,19 @@ def main():
     from nmrf_tpu.data.frame_io import InputPadder
     from nmrf_tpu.models import build_model
 
+    argv = sys.argv[1:]
+    profile_dir = None
+    if "--profile-dir" in argv:
+        i = argv.index("--profile-dir")
+        profile_dir = argv[i + 1]
+        del argv[i:i + 2]
+
     cfg = get_cfg()
     # bf16 is the TPU deployment dtype for the hot path (norms/softmax/
     # disparity arithmetic stay f32; parity deltas validated in tests);
     # override with `TPU.COMPUTE_DTYPE float32` for the f32 number.
     cfg.TPU.COMPUTE_DTYPE = "bfloat16"
-    cfg.merge_from_list(sys.argv[1:])
+    cfg.merge_from_list(argv)
     cfg.freeze()
 
     model, _ = build_model(cfg)
@@ -72,9 +79,15 @@ def main():
 
     # warmup/compile (host readback closes the pipeline)
     float(chained(params, img1, img2))
+    if profile_dir:
+        # jax.profiler device trace (TensorBoard-compatible; summarize with
+        # tools/profile_model.py:summarize_trace)
+        jax.profiler.start_trace(profile_dir)
     t0 = time.perf_counter()
     float(chained(params, img1, img2))
     ms = (time.perf_counter() - t0) / K * 1000.0
+    if profile_dir:
+        jax.profiler.stop_trace()
 
     print(json.dumps({
         "metric": "kitti_1242x375_latency",

@@ -34,6 +34,19 @@ def _subpatch_to_full(x, patch):
     return x.reshape(*lead, B, H * patch, W * patch, N)
 
 
+def _select_argmax(values, scores):
+    """``take_along_axis(values, argmax(scores, -1), -1)`` without the gather.
+
+    Full-resolution lane-axis gathers are pathologically slow on TPU (the
+    profiled ``take_along_axis`` in decode cost 6.3 ms/frame at KITTI
+    resolution); a one-hot multiply-sum is exact (``one_hot(argmax)`` keeps
+    first-winner tie semantics) and fuses into neighboring elementwise work.
+    """
+    n = values.shape[-1]
+    sel = jax.nn.one_hot(jnp.argmax(scores, axis=-1), n, dtype=values.dtype)
+    return (values * sel).sum(-1)
+
+
 def _lower_median_pool(x, k):
     """Block-pool [B, H, W] by k x k lower median (torch.median semantics:
     the lower of the two middle values, reference NMRF.py:230-231).
@@ -230,8 +243,7 @@ class NMRF(nn.Module):
 
         disp_pred = None
         if self.with_refinement:
-            idx = jnp.argmax(logits[-1], axis=-1, keepdims=True)
-            disp_curr = jnp.take_along_axis(coarse[-1], idx, axis=-1).squeeze(-1) * 2
+            disp_curr = _select_argmax(coarse[-1], logits[-1]) * 2
             disp_curr = _lower_median_pool(disp_curr, 4)  # [B, H/4, W/4]
             disp_curr = jax.lax.stop_gradient(disp_curr)
             rf1 = self.concatconv(f1_list[1])
@@ -248,8 +260,7 @@ class NMRF(nn.Module):
         if disp_pred is not None:
             disp = disp_pred[-1] * 4
         else:
-            idx = jnp.argmax(logits[-1], axis=-1, keepdims=True)
-            disp = jnp.take_along_axis(coarse[-1], idx, axis=-1).squeeze(-1) * 8
+            disp = _select_argmax(coarse[-1], logits[-1]) * 8
 
         if spatial_out:
             # spatially-shaped flat outputs so an H-sharded caller can
