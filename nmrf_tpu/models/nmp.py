@@ -143,7 +143,7 @@ class WindowAttention(nn.Module):
     num_heads: int
     attn_drop: float = 0.0
     dtype: Any = None
-    # fused Pallas attention kernel (ops/pallas/window_attention.py); falls
+    # fused Pallas attention kernel (ops/pallas/attention.py); falls
     # back to the XLA path when attention dropout is active
     use_pallas: bool = False
     pallas_interpret: bool = False
@@ -208,29 +208,56 @@ class WindowAttention(nn.Module):
         use_pallas = self.use_pallas and self.spatial_axis is None and (
             self.attn_drop == 0.0 or deterministic)
         if use_pallas:
-            from ..ops.pallas.window_attention import (
-                fused_window_attention, window_attention_op)
+            # v2 fused path (ops/pallas/attention.py): WB windows packed
+            # block-diagonally per grid cell so small windows still feed the
+            # MXU full [R, R] tiles; positional q/k logits stay at pixel
+            # granularity [*, P] and are spread over candidate tokens inside
+            # the kernel by constant selector matmuls.
+            from ..ops.pallas.attention import (
+                block_diagonal_mask_jnp, choose_window_block, pixel_selectors,
+                rpe_window_attention, rpe_window_attention_op)
 
-            Bw0 = q.shape[0]
-            q5 = q.reshape(Bw0, h, P, N, hd)
-            k5 = k.reshape(Bw0, h, P, N, hd)
-            v5 = v.reshape(Bw0, h, P, N, hd)
-            # tables to [h, P_q, P_s, c]
-            ke = k_embed.transpose(2, 0, 1, 3)
-            qe = q_embed.transpose(2, 0, 1, 3)
-            ve = v_embed.transpose(2, 0, 1, 3)
+            nW = nwh * nww
+            T = P * N
+            WB = choose_window_block(nW, T)
+            G = Bw // WB
+            R = WB * T
+            f32 = dict(preferred_element_type=jnp.float32)
+            # repartition to [3, h, Bw, T, hd] (one transpose, same cost as
+            # the XLA path's partition) then pure-reshape into groups
+            xg = qkv.reshape(B, nwh, wh, nww, ww, N, 3, h, hd)
+            xg = xg.transpose(6, 7, 0, 1, 3, 2, 4, 5, 8)
+            xg = xg.reshape(3, h, G, R, hd)
+            qg, kg, vg = xg[0], xg[1], xg[2]
+            q6 = qg.reshape(h, G, WB, P, N, hd)
+            k6 = kg.reshape(h, G, WB, P, N, hd)
+            # qr[i=(w,p,n), s] = (q_i * scale) . k_embed[p, s]
+            qr = jnp.einsum("hgwpnc,pshc->hgwpns", q6,
+                            k_embed * scale, **f32).reshape(h, G, R, P)
+            # kr[p, j=(w,s,m)] = k_j . (q_embed[p, s] * scale)
+            kr = jnp.einsum("hgwsmc,pshc->hgpwsm", k6,
+                            q_embed * scale, **f32).reshape(h, G, P, R)
+            # token-expanded value table v_embed[pixel(i), s, :]
+            pix = np.tile(np.repeat(np.arange(P), N), WB)
+            ve_tok = v_embed.transpose(2, 0, 1, 3)[:, pix]     # [h, R, P, hd]
             if attn_mask is None:
-                mask5 = jnp.zeros((1, P, N, P, N), jnp.float32)
+                base = jnp.zeros((1, T, T), jnp.float32)
             else:
-                nWm = attn_mask.shape[0]
-                mask5 = attn_mask.reshape(nWm, P, N, P, N)
+                base = attn_mask
+            gmask = block_diagonal_mask_jnp(base, WB)
+            sel_q, sel_sT, _ = pixel_selectors(P, N, WB)
+            sel_q = jnp.asarray(sel_q)
+            sel_sT = jnp.asarray(sel_sT)
             if self.pallas_interpret:
-                out = fused_window_attention(q5, k5, v5, ke, qe, ve, mask5,
-                                             scale, interpret=True)
+                out = rpe_window_attention(qg, kg, vg, qr, kr, ve_tok, gmask,
+                                           sel_q, sel_sT, scale,
+                                           interpret=True)
             else:
-                out = window_attention_op(q5, k5, v5, ke, qe, ve, mask5, scale)
-            out = out.reshape(B, nwh, nww, h, wh, ww, N, hd)
-            out = out.transpose(0, 1, 4, 2, 5, 6, 3, 7).reshape(B, H, W, N, self.dim)
+                out = rpe_window_attention_op(qg, kg, vg, qr, kr, ve_tok,
+                                              gmask, sel_q, sel_sT, scale)
+            out = out.reshape(h, B, nwh, nww, wh, ww, N, hd)
+            out = out.transpose(1, 2, 4, 3, 5, 6, 0, 7)
+            out = out.reshape(B, H, W, N, self.dim)
             if not static_zero:
                 out = jnp.roll(out, (shift, shift), axis=(1, 2))
             return out
@@ -365,6 +392,9 @@ class CSWinAttention(nn.Module):
     num_heads: int = 8
     attn_drop: float = 0.0
     dtype: Any = None
+    # fused Pallas stripe attention (ops/pallas/attention.py)
+    use_pallas: bool = False
+    pallas_interpret: bool = False
     # mesh axis name when H is sharded under shard_map: vertical stripes
     # (idx=0) span the global H — queries stay local, keys/values are
     # all-gathered along the axis (the CSWin analog of ring attention)
@@ -437,6 +467,39 @@ class CSWinAttention(nn.Module):
         rpe = rpe.transpose(0, 2, 3, 1, 4).reshape(
             B * ni * nj, H_sp * W_sp * N, h, hd).transpose(0, 2, 1, 3)
 
+        T = H_sp * W_sp * N
+        mask = jnp.asarray(window_attn_mask((H_sp, W_sp, N)))
+        use_fused = (self.use_pallas and self.spatial_axis is None
+                     and self.idx in (0, 1) and T <= 1024
+                     and (self.attn_drop == 0.0 or deterministic))
+        if use_fused:
+            # fused stripe attention: [h, G, T, hd] layout, heads folded
+            # into each grid cell; the conv positional term stays in XLA
+            # and is added to the kernel output.
+            from ..ops.pallas.attention import (
+                masked_attention, masked_attention_op)
+
+            G = B * ni * nj
+
+            def to_stripes_h(t):
+                t = t.reshape(B, ni, H_sp, nj, W_sp, N, h, hd)
+                return t.transpose(6, 0, 1, 3, 2, 4, 5, 7).reshape(h, G, T, hd)
+
+            qs = to_stripes_h(q)
+            ks = to_stripes_h(k)
+            vv = to_stripes_h(v)
+            rpe_h = rpe.transpose(1, 0, 2, 3)              # [h, G, T, hd]
+            if self.pallas_interpret:
+                out = masked_attention(qs, ks, vv, mask[None], scale,
+                                       interpret=True)
+            else:
+                out = masked_attention_op(qs, ks, vv, mask[None], scale)
+            out = out + rpe_h
+            out = out.reshape(h, B, ni, nj, H_sp, W_sp, N, hd)
+            out = out.transpose(1, 2, 4, 3, 5, 6, 0, 7)
+            out = out.reshape(B, Hp, Wp, N, self.dim)
+            return out[:, tp:tp + H, lp:lp + W]
+
         qs, ks = to_stripes(q), to_stripes(k)
         vv = v.reshape(B, ni, H_sp, nj, W_sp, N, self.dim)
         vv = vv.transpose(0, 1, 3, 5, 2, 4, 6).reshape(B * ni * nj, N, H_sp, W_sp, self.dim)
@@ -445,7 +508,6 @@ class CSWinAttention(nn.Module):
 
         attn = jnp.einsum("bhic,bhjc->bhij", qs * scale, ks,
                           preferred_element_type=jnp.float32)
-        mask = jnp.asarray(window_attn_mask((H_sp, W_sp, N)))
         attn = attn + mask[None, None]
         attn = jax.nn.softmax(attn, axis=-1)
         attn = nn.Dropout(self.attn_drop, deterministic=deterministic)(attn)
@@ -565,6 +627,7 @@ class CSWinNMP(nn.Module):
     act: Callable = gelu_exact
     normalize_before: bool = False
     dtype: Any = None
+    use_pallas: bool = False
     spatial_axis: Any = None
 
     @nn.compact
@@ -609,12 +672,14 @@ class CSWinNMP(nn.Module):
         x1 = CSWinAttention(half, idx=0, split_size=self.split_size,
                             num_heads=self.num_heads // 2,
                             attn_drop=self.attn_drop, dtype=self.dtype,
+                            use_pallas=self.use_pallas,
                             spatial_axis=self.spatial_axis,
                             name="attns_0")(
             query[..., :half], key[..., :half], value[..., :half], deterministic)
         x2 = CSWinAttention(half, idx=1, split_size=self.split_size,
                             num_heads=self.num_heads // 2,
                             attn_drop=self.attn_drop, dtype=self.dtype,
+                            use_pallas=self.use_pallas,
                             spatial_axis=self.spatial_axis,
                             name="attns_1")(
             query[..., half:], key[..., half:], value[..., half:], deterministic)

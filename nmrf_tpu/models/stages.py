@@ -55,6 +55,7 @@ class PropagationLayer(nn.Module):
     dropout: float = 0.0
     normalize_before: bool = False
     dtype: Any = None
+    use_pallas: bool = False
     spatial_axis: Any = None
 
     @nn.compact
@@ -73,6 +74,7 @@ class PropagationLayer(nn.Module):
             act=get_activation(self.activation),
             normalize_before=self.normalize_before,
             dtype=self.dtype,
+            use_pallas=self.use_pallas,
             spatial_axis=self.spatial_axis,
             name="nmp",
         )(tgt, context, deterministic, drop_path_rate=drop_path_rate)

@@ -1,6 +1,7 @@
-"""Pallas fused window attention: parity vs the jnp reference and vs the
-WindowAttention module (interpret mode on CPU — the same kernel compiles for
-TPU), mirroring the reference's CUDA-vs-golden validation (ops/test.py)."""
+"""Pallas fused NMP attention (ops/pallas/attention.py): parity vs the jnp
+references and vs the WindowAttention module XLA path (interpret mode on CPU
+— the same kernels compile for TPU), mirroring the reference's CUDA-vs-golden
+validation (ops/test.py)."""
 
 import numpy as np
 import jax
@@ -11,57 +12,89 @@ from nmrf_tpu.models.nmp import (
     WindowAttention,
     shift_window_attn_mask,
     window_attn_mask,
-    _relative_position_index,
 )
-from nmrf_tpu.ops.pallas.window_attention import (
-    fused_window_attention,
-    window_attention_reference,
-)
+from nmrf_tpu.ops.pallas import attention as fa
 from tests.gradcheck import check_grads
 
 
-def make_inputs(Bw=4, h=2, P=9, N=2, hd=8, nW=2, seed=0):
-    rng = np.random.RandomState(seed)
-    q = jnp.asarray(rng.randn(Bw, h, P, N, hd).astype(np.float32))
-    k = jnp.asarray(rng.randn(Bw, h, P, N, hd).astype(np.float32))
-    v = jnp.asarray(rng.randn(Bw, h, P, N, hd).astype(np.float32))
-    ke = jnp.asarray(rng.randn(h, P, P, hd).astype(np.float32) * 0.1)
-    qe = jnp.asarray(rng.randn(h, P, P, hd).astype(np.float32) * 0.1)
-    ve = jnp.asarray(rng.randn(h, P, P, hd).astype(np.float32) * 0.1)
-    mask = jnp.asarray((rng.rand(nW, P, N, P, N) > 0.8).astype(np.float32) * -1e9)
-    return q, k, v, ke, qe, ve, mask
-
-
-class TestFusedKernel:
-    def test_kernel_matches_reference(self):
-        args = make_inputs()
-        got = fused_window_attention(*args, scale=0.35, interpret=True)
-        want = window_attention_reference(*args, scale=0.35)
+class TestMaskedAttention:
+    def test_matches_reference(self):
+        rng = np.random.RandomState(0)
+        h, G, R, hd = 2, 3, 64, 16
+        q, k, v = (jnp.asarray(rng.randn(h, G, R, hd).astype(np.float32))
+                   for _ in range(3))
+        mask = jnp.asarray(
+            np.where(rng.rand(G, R, R) < 0.1, -1e9, 0.0).astype(np.float32))
+        got = fa.masked_attention(q, k, v, mask, 0.3, interpret=True)
+        want = fa.masked_attention_reference(q, k, v, mask, 0.3)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5, rtol=1e-5)
+        # broadcast mask (Gm=1)
+        got = fa.masked_attention(q, k, v, mask[:1], 0.3, interpret=True)
+        want = fa.masked_attention_reference(q, k, v, mask[:1], 0.3)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=1e-5, rtol=1e-5)
 
     def test_grad_through_custom_vjp(self):
-        from nmrf_tpu.ops.pallas import window_attention as wa
+        rng = np.random.RandomState(1)
+        h, G, R, hd = 1, 2, 8, 4
+        q, k, v = (jnp.asarray(rng.randn(h, G, R, hd).astype(np.float32))
+                   for _ in range(3))
+        mask = jnp.zeros((1, R, R), jnp.float32)
+        check_grads(
+            lambda q, k, v: jnp.sum(fa.masked_attention_op(
+                q, k, v, mask, 0.5)),
+            (q, k, v), probes=5)
 
-        # interpret-mode forward inside the custom_vjp for CPU testing
-        orig = wa.fused_window_attention
-        wa_interp = lambda *a, **kw: orig(*a, interpret=True, **kw)
-        wa.fused_window_attention = wa_interp
-        try:
-            q, k, v, ke, qe, ve, mask = make_inputs(Bw=2, h=1, P=4, N=2, hd=4, nW=1)
-            check_grads(
-                lambda q, k, v: jnp.sum(wa.window_attention_op(
-                    q, k, v, ke, qe, ve, mask, 0.5)),
-                (q, k, v), probes=5)
-        finally:
-            wa.fused_window_attention = orig
+
+def rpe_inputs(P=9, N=2, h=2, hd=8, nW=4, WB=2, seed=0):
+    rng = np.random.RandomState(seed)
+    G, T = nW // WB, P * N
+    R = WB * T
+    pack = lambda: jnp.asarray(rng.randn(h, G, R, hd).astype(np.float32))
+    q, k, v = pack(), pack(), pack()
+    qr = jnp.asarray(rng.randn(h, G, R, P).astype(np.float32) * 0.1)
+    kr = jnp.asarray(rng.randn(h, G, P, R).astype(np.float32) * 0.1)
+    ve = jnp.asarray(rng.randn(h, R, P, hd).astype(np.float32) * 0.1)
+    masks = np.where(rng.rand(nW, T, T) < 0.1, -1e9, 0.0).astype(np.float32)
+    gmask = jnp.asarray(fa.block_diagonal_mask(masks, WB))
+    sq, st, _ = fa.pixel_selectors(P, N, WB)
+    return q, k, v, qr, kr, ve, gmask, jnp.asarray(sq), jnp.asarray(st)
+
+
+class TestRpeWindowAttention:
+    def test_matches_reference(self):
+        args = rpe_inputs()
+        got = fa.rpe_window_attention(*args, 0.35, interpret=True)
+        want = fa.rpe_window_attention_reference(*args, 0.35)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5, rtol=1e-5)
+
+    def test_mask_packers_agree(self):
+        rng = np.random.RandomState(2)
+        masks = np.where(rng.rand(6, 10, 10) < 0.2, -1e9, 0.0).astype(
+            np.float32)
+        a = fa.block_diagonal_mask(masks, 3)
+        b = fa.block_diagonal_mask_jnp(jnp.asarray(masks), 3)
+        np.testing.assert_array_equal(a, np.asarray(b))
+
+    def test_grad_through_custom_vjp(self):
+        q, k, v, qr, kr, ve, gmask, sq, st = rpe_inputs(
+            P=4, N=1, h=1, hd=4, nW=2, WB=2, seed=3)
+        check_grads(
+            lambda q, k, v, qr: jnp.sum(fa.rpe_window_attention_op(
+                q, k, v, qr, kr, ve, gmask, sq, st, 0.5)),
+            (q, k, v, qr), probes=5)
 
 
 class TestModuleIntegration:
     @pytest.mark.parametrize("shift", [0, 3])
     def test_pallas_path_matches_xla_path(self, shift):
-        """WindowAttention(use_pallas=True) must equal the plain XLA path."""
-        B, H, W, N, dim, heads, ws = 1, 12, 12, 2, 8, 2, 6
+        """WindowAttention(use_pallas=True) must equal the plain XLA path.
+
+        H=12, W=18, ws=6 -> nW=6 windows; choose_window_block picks WB=2,
+        exercising the block-diagonal packing."""
+        B, H, W, N, dim, heads, ws = 1, 12, 18, 2, 8, 2, 6
         rng = np.random.RandomState(0)
         qkv = jnp.asarray(rng.randn(B, H, W, N, 3 * dim).astype(np.float32))
         table = jnp.asarray(
@@ -80,5 +113,40 @@ class TestModuleIntegration:
                                pallas_interpret=True)
         want = m_xla.apply(params, qkv, mask)
         got = m_pl.apply(params, qkv, mask)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-4, rtol=1e-4)
+
+    @pytest.mark.parametrize("idx", [0, 1])
+    def test_cswin_pallas_matches_xla(self, idx):
+        """CSWinAttention(use_pallas=True) must equal the XLA stripe path."""
+        from nmrf_tpu.models.nmp import CSWinAttention
+
+        B, H, W, N, dim, heads = 1, 8, 10, 2, 8, 2
+        rng = np.random.RandomState(3)
+        mk = lambda: jnp.asarray(rng.randn(B, H, W, N, dim).astype(np.float32))
+        q, k, v = mk(), mk(), mk()
+        m_xla = CSWinAttention(dim, idx=idx, split_size=1, num_heads=heads)
+        m_pl = CSWinAttention(dim, idx=idx, split_size=1, num_heads=heads,
+                              use_pallas=True, pallas_interpret=True)
+        params = m_xla.init(jax.random.PRNGKey(0), q, k, v)
+        want = m_xla.apply(params, q, k, v)
+        got = m_pl.apply(params, q, k, v)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5, rtol=1e-5)
+
+    def test_pallas_path_matches_xla_none_mask(self):
+        """mask=None (refinement even layers) with WB>1 must still block
+        cross-window attention via the packed block-diagonal mask."""
+        B, H, W, N, dim, heads, ws = 2, 8, 16, 1, 8, 2, 4
+        rng = np.random.RandomState(1)
+        qkv = jnp.asarray(rng.randn(B, H, W, N, 3 * dim).astype(np.float32))
+        table = jnp.asarray(
+            (rng.randn((2 * ws - 1) ** 2, 3 * dim) * 0.1).astype(np.float32))
+        params = {"params": {"relative_position_enc_table": table}}
+        m_xla = WindowAttention(dim, (ws, ws), 0, heads)
+        m_pl = WindowAttention(dim, (ws, ws), 0, heads, use_pallas=True,
+                               pallas_interpret=True)
+        want = m_xla.apply(params, qkv, None)
+        got = m_pl.apply(params, qkv, None)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=2e-4, rtol=1e-4)
