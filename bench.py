@@ -42,8 +42,17 @@ def main():
         i = argv.index("--profile-dir")
         profile_dir = argv[i + 1]
         del argv[i:i + 2]
+    config_file = None
+    if "--config-file" in argv:
+        # bench an alternate variant, e.g. configs/sceneflow_swint.yaml
+        # (the reference's flagship leaderboard model)
+        i = argv.index("--config-file")
+        config_file = argv[i + 1]
+        del argv[i:i + 2]
 
     cfg = get_cfg()
+    if config_file:
+        cfg.merge_from_file(config_file)
     # bf16 is the TPU deployment dtype for the hot path (norms/softmax/
     # disparity arithmetic stay f32; parity deltas validated in tests);
     # override with `TPU.COMPUTE_DTYPE float32` for the f32 number.
@@ -89,8 +98,12 @@ def main():
     if profile_dir:
         jax.profiler.stop_trace()
 
+    variant = ""
+    if config_file:
+        import os
+        variant = "_" + os.path.splitext(os.path.basename(config_file))[0]
     print(json.dumps({
-        "metric": "kitti_1242x375_latency",
+        "metric": "kitti_1242x375_latency" + variant,
         "value": round(ms, 3),
         "unit": "ms/frame",
         "vs_baseline": round(BASELINE_MS / ms, 3),  # >1 means faster than 3090

@@ -147,6 +147,10 @@ class WindowAttention(nn.Module):
     # back to the XLA path when attention dropout is active
     use_pallas: bool = False
     pallas_interpret: bool = False
+    # static mirror of the stage mask semantics for the fused path: block
+    # different candidates of the same pixel (Inference True, Refinement
+    # False — reference gen_window_attn_mask, NMP.py:195-208)
+    candidate_mask: bool = False
     # mesh axis name when H is sharded under shard_map: the shifted-window
     # cyclic roll becomes a ppermute ring exchange (parallel/spatial.py)
     spatial_axis: Any = None
@@ -208,56 +212,38 @@ class WindowAttention(nn.Module):
         use_pallas = self.use_pallas and self.spatial_axis is None and (
             self.attn_drop == 0.0 or deterministic)
         if use_pallas:
-            # v2 fused path (ops/pallas/attention.py): WB windows packed
-            # block-diagonally per grid cell so small windows still feed the
-            # MXU full [R, R] tiles; positional q/k logits stay at pixel
-            # granularity [*, P] and are spread over candidate tokens inside
-            # the kernel by constant selector matmuls.
+            # window-native fused path (ops/pallas/attention.py): the
+            # candidate / cross-window / shifted-region masks are computed
+            # IN-KERNEL from coordinates + the static ``candidate_mask``
+            # flag (``attn_mask`` is ignored — the stages build it with
+            # exactly these semantics, asserted by tests/test_pallas.py),
+            # and the positional tables stay VMEM-resident per head.  WB
+            # adjacent windows pack per grid cell so small windows still
+            # feed the MXU >=128-row tiles.
             from ..ops.pallas.attention import (
-                block_diagonal_mask_jnp, choose_window_block, pixel_selectors,
-                rpe_window_attention, rpe_window_attention_op)
+                choose_column_block, window_attention_native,
+                window_attention_native_op, window_meta)
 
-            nW = nwh * nww
             T = P * N
-            WB = choose_window_block(nW, T)
-            G = Bw // WB
-            R = WB * T
-            f32 = dict(preferred_element_type=jnp.float32)
-            # repartition to [3, h, Bw, T, hd] (one transpose, same cost as
-            # the XLA path's partition) then pure-reshape into groups
-            xg = qkv.reshape(B, nwh, wh, nww, ww, N, 3, h, hd)
-            xg = xg.transpose(6, 7, 0, 1, 3, 2, 4, 5, 8)
-            xg = xg.reshape(3, h, G, R, hd)
-            qg, kg, vg = xg[0], xg[1], xg[2]
-            q6 = qg.reshape(h, G, WB, P, N, hd)
-            k6 = kg.reshape(h, G, WB, P, N, hd)
-            # qr[i=(w,p,n), s] = (q_i * scale) . k_embed[p, s]
-            qr = jnp.einsum("hgwpnc,pshc->hgwpns", q6,
-                            k_embed * scale, **f32).reshape(h, G, R, P)
-            # kr[p, j=(w,s,m)] = k_j . (q_embed[p, s] * scale)
-            kr = jnp.einsum("hgwsmc,pshc->hgpwsm", k6,
-                            q_embed * scale, **f32).reshape(h, G, P, R)
-            # token-expanded value table v_embed[pixel(i), s, :]
-            pix = np.tile(np.repeat(np.arange(P), N), WB)
-            ve_tok = v_embed.transpose(2, 0, 1, 3)[:, pix]     # [h, R, P, hd]
-            if attn_mask is None:
-                base = jnp.zeros((1, T, T), jnp.float32)
-            else:
-                base = attn_mask
-            gmask = block_diagonal_mask_jnp(base, WB)
-            sel_q, sel_sT, _ = pixel_selectors(P, N, WB)
-            sel_q = jnp.asarray(sel_q)
-            sel_sT = jnp.asarray(sel_sT)
+            WB = choose_column_block(nww, T)
+            meta, sel = window_meta(wh, ww, WB, N)
+            pixs = meta[:, 0]
+            R = len(pixs)
+            # flattened token-expanded positional tables [h, R, P*hd]
+            ke_flat = k_embed.transpose(2, 0, 1, 3)[:, pixs].reshape(
+                h, R, P * hd)
+            qe_flat = (q_embed * scale).transpose(2, 1, 0, 3)[:, pixs].reshape(
+                h, R, P * hd)
+            ve_flat = v_embed.transpose(2, 0, 1, 3)[:, pixs].reshape(
+                h, R, P * hd)
             if self.pallas_interpret:
-                out = rpe_window_attention(qg, kg, vg, qr, kr, ve_tok, gmask,
-                                           sel_q, sel_sT, scale,
-                                           interpret=True)
+                out = window_attention_native(
+                    qkv, ke_flat, qe_flat, ve_flat, shift, scale,
+                    wh, ww, WB, h, self.candidate_mask, interpret=True)
             else:
-                out = rpe_window_attention_op(qg, kg, vg, qr, kr, ve_tok,
-                                              gmask, sel_q, sel_sT, scale)
-            out = out.reshape(h, B, nwh, nww, wh, ww, N, hd)
-            out = out.transpose(1, 2, 4, 3, 5, 6, 0, 7)
-            out = out.reshape(B, H, W, N, self.dim)
+                out = window_attention_native_op(
+                    qkv, ke_flat, qe_flat, ve_flat, shift, scale,
+                    wh, ww, WB, h, self.candidate_mask)
             if not static_zero:
                 out = jnp.roll(out, (shift, shift), axis=(1, 2))
             return out
@@ -335,6 +321,7 @@ class SwinNMP(nn.Module):
     normalize_before: bool = False
     dtype: Any = None
     use_pallas: bool = False
+    candidate_mask: bool = False
     spatial_axis: Any = None
 
     @nn.compact
@@ -355,7 +342,8 @@ class SwinNMP(nn.Module):
         msg = WindowAttention(
             self.dim, (self.window_size, self.window_size), self.shift_size,
             self.num_heads, self.attn_drop, dtype=self.dtype,
-            use_pallas=self.use_pallas, spatial_axis=self.spatial_axis,
+            use_pallas=self.use_pallas, candidate_mask=self.candidate_mask,
+            spatial_axis=self.spatial_axis,
             name="attn",
         )(qkv, attn_mask, deterministic, shift=shift)
         msg = Dense(self.dim, dtype=self.dtype, name="proj")(msg)
@@ -628,6 +616,7 @@ class CSWinNMP(nn.Module):
     normalize_before: bool = False
     dtype: Any = None
     use_pallas: bool = False
+    candidate_mask: bool = False
     spatial_axis: Any = None
 
     @nn.compact

@@ -210,6 +210,7 @@ class InferenceLayer(nn.Module):
             self.mlp_ratio, self.dropout, self.attn_drop, 0.0,
             get_activation(self.activation), self.normalize_before,
             dtype=self.dtype, use_pallas=self.use_pallas,
+            candidate_mask=True,
             spatial_axis=self.spatial_axis, name="nmp",
         )(x, abs_encoding, attn_mask, deterministic, shift=shift,
           drop_path_rate=drop_path_rate)
@@ -240,6 +241,7 @@ class RefinementLayer(nn.Module):
             self.mlp_ratio, self.dropout, self.attn_drop, 0.0,
             get_activation(self.activation), self.normalize_before,
             dtype=self.dtype, use_pallas=self.use_pallas,
+            candidate_mask=False,
             spatial_axis=self.spatial_axis, name="nmp",
         )(tgt, abs_encoding, attn_mask, deterministic, shift=shift,
           drop_path_rate=drop_path_rate)

@@ -189,6 +189,335 @@ masked_attention_op.defvjp(_ma_fwd, _ma_bwd)
 
 
 # --------------------------------------------------------------------------- #
+# Window-native attention: coordinate masks + resident positional tables
+# --------------------------------------------------------------------------- #
+#
+# The v2 rpe kernel below still pays per grid cell for (a) [R, R] mask blocks
+# streamed from HBM and (b) qr/kr/ve_tok tensors materialized by the caller
+# and re-fetched every step (their index maps change with the innermost grid
+# dim).  This kernel removes both: the candidate / cross-window /
+# shifted-region masks are computed in-kernel from trace-time coordinate
+# constants (plus one SMEM shift scalar), and the positional tables are
+# passed flattened as [h, R, P*hd] blocks whose index map depends only on
+# the head — Mosaic fetches them once per head and keeps them VMEM-resident
+# across all window groups.  The per-(R, P, hd) contractions are expressed
+# as constant 0/1 selector matmuls (2-D dots only — Mosaic-safe):
+#
+#   qtile = q @ T_tile            T_tile[c, s*hd+c'] = (c == c')   [R, P*hd]
+#   qr    = (ke ⊙ qtile) @ S_red  S_red[s*hd+c, s']  = (s == s')   [R, P]
+#   atile = attn_s @ T_grp        T_grp[s, s'*hd+c]  = (s == s')   [R, P*hd]
+#   vterm = (ve ⊙ atile) @ S_ch   S_ch[s*hd+c, c']   = (c == c')   [R, hd]
+
+def window_meta(wh, ww, WB, N):
+    """Constants for the window-native token order.
+
+    A grid cell covers WB adjacent windows along W: token
+    i = (lr * WB*ww + wx) * N + n with lr the row inside the window band,
+    wx the column inside the block, n the candidate.
+
+    Returns int32 ``meta`` [R, 4] with columns (pixel-in-window, window-in-
+    block, lr, wx), and f32 ``sel`` [R, P] with sel[i, p] = 1 iff
+    pixel(i) == p (cross-window hits handled by the in-kernel window mask).
+    """
+    WBww = WB * ww
+    lr = np.repeat(np.arange(wh), WBww * N)
+    wx = np.tile(np.repeat(np.arange(WBww), N), wh)
+    pix = lr * ww + (wx % ww)
+    win = wx // ww
+    meta = np.stack([pix, win, lr, wx], 1).astype(np.int32)  # [R, 4]
+    P = wh * ww
+    sel = (pix[:, None] == np.arange(P)[None, :]).astype(np.float32)
+    return meta, sel
+
+
+def choose_column_block(nww, T, target=512):
+    """Largest WB dividing nww with WB*T <= target (one grid cell spans WB
+    adjacent windows along W so small windows still feed the MXU)."""
+    wb = 1
+    for cand in range(2, nww + 1):
+        if nww % cand == 0 and cand * T <= target:
+            wb = cand
+    return wb
+
+
+def hd_group_selectors(P, hd):
+    """Constant 0/1 matrices for per-(pixel, channel) lane-group algebra on
+    flattened [*, P*hd] tables (see section comment)."""
+    s_ids = np.repeat(np.arange(P), hd)          # [P*hd] pixel of each lane
+    c_ids = np.tile(np.arange(hd), P)            # [P*hd] channel of each lane
+    t_tile = (np.arange(hd)[:, None] == c_ids[None, :]).astype(np.float32)
+    s_red = (s_ids[:, None] == np.arange(P)[None, :]).astype(np.float32)
+    t_grp = (np.arange(P)[:, None] == s_ids[None, :]).astype(np.float32)
+    s_ch = (c_ids[:, None] == np.arange(hd)[None, :]).astype(np.float32)
+    return t_tile, s_red, t_grp, s_ch            # [hd,PH] [PH,P] [P,PH] [PH,hd]
+
+
+def _window_native_kernel(shift_ref, q_ref, k_ref, v_ref, ke_ref, qe_ref,
+                          ve_ref, selq_ref, selst_ref, ttile_ref, sred_ref,
+                          tgrp_ref, sch_ref, mask_ref, out_ref, *, scale, wh,
+                          ww, WB, N, Hp, Wp, neg, exact):
+    # exact: f32 inputs demand HIGHEST (multi-pass) MXU precision to match
+    # the XLA reference bit-for-bit-ish; bf16 inputs take the fast path
+    _P = dict(_F32, precision=lax.Precision.HIGHEST) if exact else _F32
+    f32 = jnp.float32
+    q = q_ref[0, 0, 0].astype(f32) * scale                # [R, hd]
+    k = k_ref[0, 0, 0].astype(f32)
+    v = v_ref[0, 0, 0]
+    logits = lax.dot_general(q, k, (((1,), (1,)), ((), ())), **_P)
+    ttile = ttile_ref[:]
+    sred = sred_ref[:]
+    # qr[i, s] = q_i . k_embed[pixel(i), s]; spread over key tokens j by
+    # pixel(j) with the constant selector matmul
+    qtile = lax.dot_general(q, ttile, (((1,), (0,)), ((), ())), **_P)
+    qr = lax.dot_general(ke_ref[0].astype(f32) * qtile, sred,
+                         (((1,), (0,)), ((), ())), **_P)   # [R, P]
+    logits = logits + lax.dot_general(
+        qr, selst_ref[:], (((1,), (0,)), ((), ())), **_P)
+    # kr[j, p] = k_j . (q_embed[p, pixel(j)] * scale)
+    ktile = lax.dot_general(k, ttile, (((1,), (0,)), ((), ())), **_P)
+    kr = lax.dot_general(qe_ref[0].astype(f32) * ktile, sred,
+                         (((1,), (0,)), ((), ())), **_P)   # [R, P]
+    logits = logits + lax.dot_general(
+        selq_ref[:], kr, (((1,), (1,)), ((), ())), **_P)
+
+    # candidate / cross-window base mask: a constant input block, fetched
+    # once ever (reference gen_window_attn_mask, NMP.py:195-208)
+    logits = logits + mask_ref[:]
+    # shifted-window region mask, evaluated on the rolled image: region
+    # boundaries at {Hp-wh, Hp-shift} on y and {Wp-ww, Wp-shift} on x
+    # (reference gen_shift_window_attn_mask, NMP.py:210-239); token
+    # coordinates derive from iota: i = (lr * WB*ww + wx) * N + n
+    s = shift_ref[0]
+    gh = pl.program_id(2)
+    gw = pl.program_id(3)
+    WBww = WB * ww
+    R = logits.shape[0]
+
+    def region(i):
+        lr = i // (WBww * N)
+        wx = (i // N) % WBww
+        y = gh * wh + lr
+        x = gw * WBww + wx
+        ry = (y >= Hp - wh).astype(jnp.int32) + (y >= Hp - s).astype(jnp.int32)
+        rx = (x >= Wp - ww).astype(jnp.int32) + (x >= Wp - s).astype(jnp.int32)
+        return 3 * ry + rx
+
+    reg_c = region(lax.broadcasted_iota(jnp.int32, (R, 1), 0))
+    reg_r = region(lax.broadcasted_iota(jnp.int32, (1, R), 1))
+    shifted = (s > 0) & (reg_c != reg_r)
+    logits = logits + jnp.where(shifted, neg, 0.0)
+
+    mx = jnp.max(logits, axis=-1, keepdims=True)
+    e = jnp.exp(logits - mx)
+    attn = e / jnp.sum(e, axis=-1, keepdims=True)
+    out = lax.dot_general(attn.astype(v.dtype), v,
+                          (((1,), (0,)), ((), ())), **_P)
+    # value-table term: attention mass per key pixel, tiled over channels,
+    # then reduced per channel — all constant selector matmuls
+    attn_s = lax.dot_general(attn, selq_ref[:],
+                             (((1,), (0,)), ((), ())), **_P)  # [R, P]
+    atile = lax.dot_general(attn_s, tgrp_ref[:],
+                            (((1,), (0,)), ((), ())), **_P)   # [R, P*hd]
+    out = out + lax.dot_general(ve_ref[0].astype(f32) * atile, sch_ref[:],
+                                (((1,), (0,)), ((), ())), **_P)
+    out_ref[0, 0, 0] = out.astype(out_ref.dtype)
+
+
+def window_attention_native(qkv, ke_flat, qe_flat, ve_flat, shift,
+                            scale, wh, ww, WB, num_heads, candidate_mask,
+                            neg=-1e9, interpret=None):
+    """Fused windowed NMP attention with in-kernel masks and VMEM-resident
+    positional tables.
+
+    Args:
+      qkv: [B, Hp, Wp, N, 3*C] with channel order (component, head, hd)
+        (already rolled for shifted layers).
+      ke_flat: [h, R, P*hd] ``k_embed[pixel(i), s, head]`` flattened over
+        (s, channel) lanes.
+      qe_flat: [h, R, P*hd] ``q_embed[p, pixel(j), head] * scale`` with p on
+        the P lane-group axis.
+      ve_flat: [h, R, P*hd] ``v_embed[pixel(i), s, head]``.
+      shift: int32 scalar (traced ok) — shifted-window shift of this layer.
+      candidate_mask: block different candidates of the same pixel
+        (Inference stage; Refinement passes False).
+    Returns [B, Hp, Wp, N, h*hd] in qkv.dtype.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    B, Hp, Wp, N, C3 = qkv.shape
+    h = num_heads
+    hd = C3 // (3 * h)
+    P = wh * ww
+    WBww = WB * ww
+    R = wh * WBww * N
+    nwh = Hp // wh
+    nwwB = Wp // WBww
+    G = B * nwh * nwwB
+
+    # token packing (one fused XLA transpose — the same cost the module
+    # path pays for its window partition); the kernel reads full-dim blocks
+    x = qkv.reshape(B, nwh, wh, nwwB, WBww, N, 3, h, hd)
+    x = x.transpose(6, 7, 0, 1, 3, 2, 4, 5, 8)
+    x = x.reshape(3, h, G, R, hd)
+
+    def comp_spec(comp):
+        return pl.BlockSpec(
+            (1, 1, 1, R, hd),
+            lambda b, i, gh, gw, comp=comp:
+            (comp, i, (b * nwh + gh) * nwwB + gw, 0, 0),
+            memory_space=pltpu.VMEM)
+
+    PH = P * hd
+    tbl = pl.BlockSpec((1, R, PH), lambda b, i, gh, gw: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    cst = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda b, i, gh, gw: tuple(0 for _ in shape),
+        memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec(
+        (1, 1, 1, R, hd),
+        lambda b, i, gh, gw: (i, 0, (b * nwh + gh) * nwwB + gw, 0, 0),
+        memory_space=pltpu.VMEM)
+
+    t_tile, s_red, t_grp, s_ch = hd_group_selectors(P, hd)
+    meta, sel = window_meta(wh, ww, WB, N)
+    pix, win = meta[:, 0], meta[:, 1]
+    basemask = np.where(win[:, None] != win[None, :], neg, 0.0)
+    if candidate_mask:
+        same_pix = (pix[:, None] == pix[None, :]) & \
+            (win[:, None] == win[None, :])
+        np.fill_diagonal(same_pix, False)
+        basemask = basemask + np.where(same_pix, neg, 0.0)
+    shift_arr = jnp.asarray(shift, jnp.int32).reshape(1)
+    kernel = functools.partial(
+        _window_native_kernel, scale=scale, wh=wh, ww=ww, WB=WB, N=N,
+        Hp=Hp, Wp=Wp, neg=neg, exact=qkv.dtype == jnp.float32)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, h, nwh, nwwB),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            comp_spec(0), comp_spec(1), comp_spec(2),
+            tbl, tbl, tbl,
+            cst((R, P)), cst((P, R)),
+            cst((hd, PH)), cst((PH, P)), cst((P, PH)), cst((PH, hd)),
+            cst((R, R)),
+        ],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((h, 1, G, R, hd), qkv.dtype),
+        interpret=interpret,
+    )(shift_arr, x, x, x, ke_flat, qe_flat, ve_flat,
+      jnp.asarray(sel), jnp.asarray(np.ascontiguousarray(sel.T)),
+      jnp.asarray(t_tile), jnp.asarray(s_red), jnp.asarray(t_grp),
+      jnp.asarray(s_ch), jnp.asarray(basemask.astype(np.float32)))
+
+    out = out.reshape(h, B, nwh, nwwB, wh, WBww, N, hd)
+    out = out.transpose(1, 2, 4, 3, 5, 6, 0, 7)
+    return out.reshape(B, Hp, Wp, N, h * hd)
+
+
+def window_attention_native_reference(qkv, ke_flat, qe_flat, ve_flat, shift,
+                                      scale, wh, ww, WB,
+                                      num_heads, candidate_mask, neg=-1e9):
+    """jnp golden of :func:`window_attention_native` (tests + VJP backward).
+
+    Mirrors the kernel math exactly, including the coordinate-derived masks.
+    """
+    B, Hp, Wp, N, C3 = qkv.shape
+    h = num_heads
+    hd = C3 // (3 * h)
+    P = wh * ww
+    WBww = WB * ww
+    R = wh * WBww * N
+    nwh, nwwB = Hp // wh, Wp // WBww
+    f32 = jnp.float32
+    x = qkv.reshape(B, nwh, wh, nwwB, WBww, N, 3, h, hd)
+    x = x.transpose(6, 7, 0, 1, 3, 2, 4, 5, 8)   # [3, h, B, nwh, nwwB, ...]
+    x = x.reshape(3, h, B * nwh * nwwB, R, hd)
+    meta, sel = window_meta(wh, ww, WB, N)
+    q = x[0].astype(f32) * scale
+    k = x[1].astype(f32)
+    v = x[2]
+    logits = jnp.einsum("hgic,hgjc->hgij", q, k,
+                        preferred_element_type=f32)
+    ke = ke_flat.reshape(h, R, P, hd).astype(f32)
+    qe = qe_flat.reshape(h, R, P, hd).astype(f32)
+    ve = ve_flat.reshape(h, R, P, hd).astype(f32)
+    qr = jnp.einsum("hgic,hisc->hgis", q, ke)
+    logits = logits + jnp.einsum("hgis,js->hgij", qr, jnp.asarray(sel))
+    kr = jnp.einsum("hgjc,hjpc->hgjp", k, qe)
+    logits = logits + jnp.einsum("ip,hgjp->hgij", jnp.asarray(sel), kr)
+
+    pix, win, lr, wx = (np.asarray(meta[:, c]) for c in range(4))
+    mask = np.where(win[:, None] != win[None, :], neg, 0.0)
+    if candidate_mask:
+        same_pix = (pix[:, None] == pix[None, :]) & \
+            (win[:, None] == win[None, :])
+        np.fill_diagonal(same_pix, False)
+        mask = mask + np.where(same_pix, neg, 0.0)
+    mask = jnp.asarray(mask, f32)
+    # per-(gh, gw) shifted-region mask
+    ghs = np.arange(nwh).repeat(nwwB)
+    gws = np.tile(np.arange(nwwB), nwh)
+    y = ghs[:, None] * wh + lr[None, :]          # [nW_groups, R]
+    xg = gws[:, None] * WBww + wx[None, :]
+    s = jnp.asarray(shift, jnp.int32)
+
+    def region(y, x):
+        ry = (y >= Hp - wh).astype(np.int32) + \
+            jnp.asarray(y >= Hp - s, jnp.int32)
+        rx = (x >= Wp - ww).astype(np.int32) + \
+            jnp.asarray(x >= Wp - s, jnp.int32)
+        return 3 * ry + rx
+
+    reg = region(y, xg)                           # [G0, R]
+    shifted = (s > 0) & (reg[:, :, None] != reg[:, None, :])
+    gmask = mask[None] + jnp.where(shifted, neg, 0.0)   # [G0, R, R]
+    gmask = jnp.tile(gmask, (B, 1, 1))
+    logits = logits + gmask[None]
+    attn = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("hgij,hgjc->hgic", attn.astype(v.dtype), v,
+                     preferred_element_type=f32)
+    attn_s = jnp.einsum("hgij,js->hgis", attn, jnp.asarray(sel))
+    out = out + jnp.einsum("hgis,hisc->hgic", attn_s, ve)
+    out = out.astype(qkv.dtype)
+    out = out.reshape(h, B, nwh, nwwB, wh, WBww, N, hd)
+    out = out.transpose(1, 2, 4, 3, 5, 6, 0, 7)
+    return out.reshape(B, Hp, Wp, N, h * hd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))
+def window_attention_native_op(qkv, ke_flat, qe_flat, ve_flat,
+                               shift, scale, wh, ww, WB, num_heads,
+                               candidate_mask, neg=-1e9):
+    """Differentiable window-native attention (Pallas fwd, remat bwd)."""
+    return window_attention_native(qkv, ke_flat, qe_flat, ve_flat,
+                                   shift, scale, wh, ww, WB, num_heads,
+                                   candidate_mask, neg)
+
+
+def _wan_fwd(qkv, ke_flat, qe_flat, ve_flat, shift, scale, wh, ww,
+             WB, num_heads, candidate_mask, neg):
+    out = window_attention_native(qkv, ke_flat, qe_flat, ve_flat,
+                                  shift, scale, wh, ww, WB, num_heads,
+                                  candidate_mask, neg)
+    return out, (qkv, ke_flat, qe_flat, ve_flat, shift)
+
+
+def _wan_bwd(scale, wh, ww, WB, num_heads, candidate_mask, neg, res, g):
+    qkv, ke_flat, qe_flat, ve_flat, shift = res
+    _, vjp = jax.vjp(
+        lambda qkv, ke, qe, ve: window_attention_native_reference(
+            qkv, ke, qe, ve, shift, scale, wh, ww, WB,
+            num_heads, candidate_mask, neg),
+        qkv, ke_flat, qe_flat, ve_flat)
+    dqkv, dke, dqe, dve = vjp(g)
+    return dqkv, dke, dqe, dve, None
+
+
+window_attention_native_op.defvjp(_wan_fwd, _wan_bwd)
+
+
+# --------------------------------------------------------------------------- #
 # Window attention with relative-position q/k/v terms
 # --------------------------------------------------------------------------- #
 

@@ -110,7 +110,7 @@ class TestModuleIntegration:
 
         m_xla = WindowAttention(dim, (ws, ws), shift, heads)
         m_pl = WindowAttention(dim, (ws, ws), shift, heads, use_pallas=True,
-                               pallas_interpret=True)
+                               pallas_interpret=True, candidate_mask=True)
         want = m_xla.apply(params, qkv, mask)
         got = m_pl.apply(params, qkv, mask)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
@@ -150,3 +150,73 @@ class TestModuleIntegration:
         got = m_pl.apply(params, qkv, None)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=2e-4, rtol=1e-4)
+
+
+class TestWindowNative:
+    """window_attention_native: in-kernel masks + flattened positional
+    tables must reproduce the WindowAttention module math exactly."""
+
+    def _tables(self, table, ws, heads, hd, WB, N, scale):
+        from nmrf_tpu.models.nmp import _relative_position_index
+
+        P = ws * ws
+        rel = _relative_position_index(ws, ws)
+        rpe = table[rel.reshape(-1)].reshape(P, P, heads, 3 * hd)
+        q_e, k_e, v_e = jnp.split(rpe, 3, axis=-1)
+        meta, sel = fa.window_meta(ws, ws, WB, N)
+        pixs = meta[:, 0]
+        R = len(pixs)
+        ke = k_e.transpose(2, 0, 1, 3)[:, pixs].reshape(heads, R, -1)
+        qe = (q_e * scale).transpose(2, 1, 0, 3)[:, pixs].reshape(heads, R, -1)
+        ve = v_e.transpose(2, 0, 1, 3)[:, pixs].reshape(heads, R, -1)
+        return meta, sel, ke, qe, ve
+
+    @pytest.mark.parametrize("shift", [0, 2])
+    def test_matches_module(self, shift):
+        B, H, W, N, dim, heads, ws, WB = 1, 8, 24, 2, 16, 2, 4, 3
+        hd = dim // heads
+        scale = hd ** -0.5
+        rng = np.random.RandomState(0)
+        qkv = jnp.asarray(rng.randn(B, H, W, N, 3 * dim).astype(np.float32))
+        table = jnp.asarray(
+            (rng.randn((2 * ws - 1) ** 2, 3 * dim) * 0.1).astype(np.float32))
+        params = {"params": {"relative_position_enc_table": table}}
+        if shift > 0:
+            mask = jnp.asarray(
+                shift_window_attn_mask((H, W), (ws, ws, N), shift))
+        else:
+            nW = (H // ws) * (W // ws)
+            mask = jnp.asarray(np.broadcast_to(
+                window_attn_mask((ws, ws, N))[None],
+                (nW, ws * ws * N, ws * ws * N)).copy())
+        want = WindowAttention(dim, (ws, ws), shift, heads).apply(
+            params, qkv, mask)
+
+        meta, sel, ke, qe, ve = self._tables(table, ws, heads, hd, WB, N,
+                                             scale)
+        rolled = jnp.roll(qkv, (-shift, -shift), axis=(1, 2))
+        for impl in (fa.window_attention_native_reference,
+                     fa.window_attention_native):
+            got = impl(rolled, ke, qe, ve, shift, scale,
+                       ws, ws, WB, heads, True)
+            got = jnp.roll(got, (shift, shift), axis=(1, 2))
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       atol=2e-4, rtol=1e-4)
+
+    def test_gradients(self):
+        """custom-VJP backward (remat through the jnp reference)."""
+        B, H, W, N, dim, heads, ws, WB = 1, 4, 8, 1, 8, 2, 4, 2
+        hd = dim // heads
+        scale = hd ** -0.5
+        rng = np.random.RandomState(1)
+        qkv = jnp.asarray(rng.randn(B, H, W, N, 3 * dim).astype(np.float32))
+        table = jnp.asarray(
+            (rng.randn((2 * ws - 1) ** 2, 3 * dim) * 0.1).astype(np.float32))
+        from nmrf_tpu.models.nmp import _relative_position_index  # noqa: F401
+        meta, sel, ke, qe, ve = self._tables(table, ws, heads, hd, WB, N,
+                                             scale)
+        check_grads(
+            lambda qkv, ke, qe, ve: jnp.sum(fa.window_attention_native_op(
+                qkv, ke, qe, ve, 2, scale, ws, ws, WB, heads,
+                False) ** 2),
+            (qkv, ke, qe, ve), atol=5e-3, rtol=5e-3)

@@ -1,0 +1,70 @@
+"""On-chip probe of the window-native Pallas kernel (compile + parity).
+
+Runs window_attention_native at real inference/refinement shapes on the TPU
+and compares against the jnp reference (also on TPU).  Exercises the Mosaic
+features the kernel leans on: full-dim token blocks, VMEM-resident flattened
+tables, in-kernel iota coordinate masks, SMEM shift scalar.
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from nmrf_tpu.utils.runtime import configure_jax
+configure_jax()
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from nmrf_tpu.ops.pallas.attention import (
+    choose_column_block, window_attention_native,
+    window_attention_native_reference, window_meta)
+
+print("backend:", jax.default_backend(), flush=True)
+rng = np.random.default_rng(0)
+
+CASES = {
+    # KITTI-ish shapes: (wh, ww, N, heads, hd, Hp, Wp, cand)
+    "inference": (6, 6, 4, 4, 32, 48, 156, True),
+    "refinement": (4, 4, 1, 4, 32, 96, 312, False),
+}
+
+for tag, (wh, ww, N, heads, hd, Hp, Wp, cand) in CASES.items():
+    C = heads * hd
+    scale = hd ** -0.5
+    T = wh * ww * N
+    WB = choose_column_block(Wp // ww, T)
+    qkv = jnp.asarray(rng.standard_normal((1, Hp, Wp, N, 3 * C)), jnp.float32)
+    P = wh * ww
+    tabs = jnp.asarray(rng.standard_normal((3, heads, P, P, hd)),
+                       jnp.float32) * 0.1
+    meta, sel = window_meta(wh, ww, WB, N)
+    pixs = meta[:, 0]
+    R = len(pixs)
+    ke_flat = tabs[0][:, pixs].reshape(heads, R, -1)
+    qe_flat = (tabs[1] * scale).transpose(0, 2, 1, 3)[:, pixs].reshape(
+        heads, R, -1)
+    ve_flat = tabs[2][:, pixs].reshape(heads, R, -1)
+    shift = wh // 2
+
+    fn = jax.jit(lambda q, ke, qe, ve: window_attention_native(
+        q, ke, qe, ve, shift, scale, wh, ww, WB, heads, cand,
+        interpret=False))
+    ref = jax.jit(lambda q, ke, qe, ve: window_attention_native_reference(
+        q, ke, qe, ve, shift, scale, wh, ww, WB, heads, cand))
+    try:
+        got = np.asarray(fn(qkv, ke_flat, qe_flat, ve_flat))
+    except Exception as e:  # noqa: BLE001
+        print(f"FAIL {tag}: {type(e).__name__}: {str(e)[:800]}")
+        continue
+    with jax.default_matmul_precision("highest"):
+        want = np.asarray(jax.jit(
+            lambda q, ke, qe, ve: window_attention_native_reference(
+                q, ke, qe, ve, shift, scale, wh, ww, WB, heads,
+                cand))(qkv, ke_flat, qe_flat, ve_flat))
+    lossy = np.asarray(ref(qkv, ke_flat, qe_flat, ve_flat))
+    err = float(np.max(np.abs(got - want)))
+    err_l = float(np.max(np.abs(lossy - want)))
+    print(f"{'OK ' if err < 1e-3 else 'FAIL'} {tag}: WB={WB} "
+          f"kernel-vs-exact={err:.3e} xla-default-vs-exact={err_l:.3e}",
+          flush=True)

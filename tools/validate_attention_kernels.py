@@ -124,5 +124,64 @@ out_pal = rpe_window_attention(qp, kp, vp, qr, kr, ve_tok, gmask,
                                interpret=True)
 ok &= chk("rpe pallas vs reference (WB=2)", out_pal, out_ref, tol=5e-4)
 
+# ---- 4. window-native kernel vs the WindowAttention module (XLA path) ----
+from nmrf_tpu.models.nmp import WindowAttention, shift_window_attn_mask, \
+    window_attn_mask
+from nmrf_tpu.ops.pallas.attention import (
+    window_attention_native, window_attention_native_reference, window_meta)
+
+for tag, (wh, ww, N, heads, hd, Hp, Wp, WB, cand) in {
+    "inference-like": (6, 6, 2, 2, 8, 12, 24, 2, True),
+    "refinement-like": (4, 4, 1, 2, 8, 8, 24, 3, False),
+}.items():
+    C = heads * hd
+    scale = hd ** -0.5
+    B = 2
+    qkv = jnp.asarray(rng.standard_normal((B, Hp, Wp, N, 3 * C)), jnp.float32)
+    table = jnp.asarray(
+        rng.standard_normal(((2 * wh - 1) * (2 * ww - 1), 3 * C)),
+        jnp.float32) * 0.1
+    mod = WindowAttention(C, (wh, ww), wh // 2, heads)
+    params = {"params": {"relative_position_enc_table": table}}
+
+    # token-expanded positional tables (same construction the module will use)
+    from nmrf_tpu.models.nmp import _relative_position_index
+    P = wh * ww
+    rel = _relative_position_index(wh, ww)
+    rpe = table[rel.reshape(-1)].reshape(P, P, heads, 3 * hd)
+    q_embed, k_embed, v_embed = jnp.split(rpe, 3, axis=-1)
+    meta, sel = window_meta(wh, ww, WB, N)
+    pixs = meta[:, 0]
+    R = len(pixs)
+    ke_flat = k_embed.transpose(2, 0, 1, 3)[:, pixs].reshape(heads, R, -1)
+    qe_flat = (q_embed * scale).transpose(2, 1, 0, 3)[:, pixs].reshape(
+        heads, R, -1)
+    ve_flat = v_embed.transpose(2, 0, 1, 3)[:, pixs].reshape(heads, R, -1)
+
+    for shift in (0, wh // 2):
+        if shift == 0:
+            attn_mask = None if not cand else jnp.broadcast_to(
+                window_attn_mask((wh, ww, N))[None],
+                ((Hp // wh) * (Wp // ww), P * N, P * N))
+        else:
+            attn_mask = jnp.asarray(shift_window_attn_mask(
+                (Hp, Wp), (wh, ww, N), shift, with_candidate_mask=cand))
+        want = mod.apply(params, qkv, attn_mask, True, shift=shift)
+
+        rolled = jnp.roll(qkv, (-shift, -shift), axis=(1, 2))
+        got_r = window_attention_native_reference(
+            rolled, ke_flat, qe_flat, ve_flat, shift, scale,
+            wh, ww, WB, heads, cand)
+        got_r = jnp.roll(got_r, (shift, shift), axis=(1, 2))
+        ok &= chk(f"native reference vs module ({tag}, shift={shift})",
+                  got_r, want, tol=5e-4)
+
+        got_k = window_attention_native(
+            rolled, ke_flat, qe_flat, ve_flat, shift, scale,
+            wh, ww, WB, heads, cand, interpret=True)
+        got_k = jnp.roll(got_k, (shift, shift), axis=(1, 2))
+        ok &= chk(f"native pallas vs module ({tag}, shift={shift})",
+                  got_k, want, tol=5e-4)
+
 print("ALL OK" if ok else "FAILURES", flush=True)
 sys.exit(0 if ok else 1)
