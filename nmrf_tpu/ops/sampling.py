@@ -61,6 +61,14 @@ def disp_warp(fmap, disp, radius=0):
 def grid_sample_2d(img, grid, align_corners=False):
     """Bilinear 2D sampling with zeros padding (torch ``F.grid_sample`` golden).
 
+    TPU formulation: ONE ``lax.gather`` fetching a [2, 2, C] patch per point
+    (instead of four independent corner gathers — gathers are the cost on
+    TPU, not FLOPs).  The patch start is clamped into bounds and each patch
+    cell is weighted by the hat function of its ABSOLUTE coordinate,
+    ``relu(1 - |x - xs|) * relu(1 - |y - ys|)``, which reproduces exact
+    bilinear-with-zeros semantics for every case (interior, border,
+    fully out of range) without per-corner masks.
+
     Args:
       img: [B, H, W, C]
       grid: [B, ..., 2] normalized coords in [-1, 1], (x, y) order.
@@ -68,6 +76,9 @@ def grid_sample_2d(img, grid, align_corners=False):
     Returns:
       [B, ..., C]
     """
+    import jax
+    from jax import lax
+
     B, H, W, C = img.shape
     lead = grid.shape[1:-1]
     g = grid.reshape(B, -1, 2)
@@ -78,28 +89,32 @@ def grid_sample_2d(img, grid, align_corners=False):
     else:
         x = (gx + 1.0) * 0.5 * W - 0.5
         y = (gy + 1.0) * 0.5 * H - 0.5
+    if H < 2 or W < 2:
+        # degenerate 1-px axis: zero-pad (weights of padded cells follow the
+        # same hat function, so contributions are exact)
+        img = jnp.pad(img, ((0, 0), (0, max(2 - H, 0)),
+                            (0, max(2 - W, 0)), (0, 0)))
 
-    x0 = jnp.floor(x)
-    y0 = jnp.floor(y)
-    fx = x - x0
-    fy = y - y0
-    x0i = x0.astype(jnp.int32)
-    y0i = y0.astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, max(H - 2, 0))
+    x0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, max(W - 2, 0))
+    starts = jnp.stack([y0, x0], axis=-1)  # [B, K, 2]
 
-    def tap(xi, yi, w):
-        inb = (xi >= 0) & (xi <= W - 1) & (yi >= 0) & (yi <= H - 1)
-        flat = jnp.clip(yi, 0, H - 1) * W + jnp.clip(xi, 0, W - 1)  # [B,K]
-        vals = jnp.take_along_axis(
-            img.reshape(B, H * W, C), flat[..., None], axis=1
-        )
-        return vals * (w * inb)[..., None]
+    dnums = lax.GatherDimensionNumbers(
+        offset_dims=(1, 2, 3), collapsed_slice_dims=(),
+        start_index_map=(0, 1))
+    gather = lambda im, st: lax.gather(  # noqa: E731
+        im, st, dnums, slice_sizes=(2, 2, C),
+        mode=lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+    patch = jax.vmap(gather)(img, starts)  # [B, K, 2, 2, C]
 
-    out = (
-        tap(x0i, y0i, (1 - fx) * (1 - fy))
-        + tap(x0i + 1, y0i, fx * (1 - fy))
-        + tap(x0i, y0i + 1, (1 - fx) * fy)
-        + tap(x0i + 1, y0i + 1, fx * fy)
-    )
+    # hat weights of the absolute patch coordinates (zero when the true
+    # sampling point is >=1 px away — covers clamping and out-of-range)
+    ys = y0[..., None] + jnp.arange(2, dtype=jnp.int32)  # [B, K, 2]
+    xs = x0[..., None] + jnp.arange(2, dtype=jnp.int32)
+    wy = jnp.maximum(0.0, 1.0 - jnp.abs(y[..., None] - ys))
+    wx = jnp.maximum(0.0, 1.0 - jnp.abs(x[..., None] - xs))
+    w = (wy[:, :, :, None] * wx[:, :, None, :]).astype(img.dtype)
+    out = jnp.einsum("bkyxc,bkyx->bkc", patch, w)
     return out.reshape(B, *lead, C)
 
 
