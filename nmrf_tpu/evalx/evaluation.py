@@ -19,11 +19,14 @@ Metric math runs in numpy on host — eval batches are size 1 and the model
 call dominates; keeping metrics out of jit avoids shape-dependent recompiles.
 """
 
+import datetime
 import logging
 import time
 from collections import OrderedDict
 
 import numpy as np
+
+from ..utils.logger import log_every_n_seconds
 
 logger = logging.getLogger(__name__)
 
@@ -178,13 +181,21 @@ def inference_on_dataset(run_model, data_iter, evaluator, total=None,
         total_eval_time += time.perf_counter() - t0
 
         iters_after_start = idx + 1 - num_warmup * int(idx >= num_warmup)
-        if idx >= num_warmup * 2 and (idx + 1) % 50 == 0:
+        compute_spi = total_compute_time / iters_after_start
+        if idx >= num_warmup * 2 or compute_spi > 5:
+            # throttled progress + ETA every 5 s (reference evaluation.py:239)
             seconds_per_iter = (time.perf_counter() - start_time) / iters_after_start
-            logger.info(
+            eta = ""
+            if total:
+                eta = " ETA=" + str(datetime.timedelta(
+                    seconds=int(seconds_per_iter * (total - idx - 1))))
+            log_every_n_seconds(
+                logging.INFO,
                 f"Inference done {idx + 1}{f'/{total}' if total else ''}. "
-                f"{total_compute_time / iters_after_start:.4f} s/iter compute, "
+                f"{compute_spi:.4f} s/iter compute, "
                 f"{total_data_time / iters_after_start:.4f} s/iter data, "
-                f"{seconds_per_iter:.4f} s/iter total")
+                f"{seconds_per_iter:.4f} s/iter total.{eta}",
+                n=5, name=__name__)
         start_data_time = time.perf_counter()
 
     return evaluator.evaluate(gather_fn=gather_fn)

@@ -29,6 +29,8 @@ def build_model(cfg, spatial_axis=None):
         num_prop_layers=cfg.NMP.NUM_PROP_LAYERS,
         num_infer_layers=cfg.NMP.NUM_INFER_LAYERS,
         num_refine_layers=cfg.NMP.NUM_REFINE_LAYERS,
+        # honored here (the reference accepts but ignores it — defect §2.9.8)
+        with_refinement=cfg.NMP.WITH_REFINEMENT,
         return_intermediate=cfg.NMP.RETURN_INTERMEDIATE,
         attn_drop=cfg.NMP.ATTN_DROP,
         proj_drop=cfg.NMP.PROJ_DROP,
@@ -38,6 +40,7 @@ def build_model(cfg, spatial_axis=None):
         aux_loss=cfg.SOLVER.AUX_LOSS,
         compute_dtype=cfg.TPU.COMPUTE_DTYPE,
         use_pallas=cfg.TPU.USE_PALLAS,
+        msda_tap_radius=cfg.TPU.MSDA_TAP_RADIUS,
     )
     criterion = Criterion(
         max_disp=cfg.SOLVER.MAX_DISP,

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.msda import ms_deform_attn
+from ..ops.msda import ms_deform_attn, ms_deform_attn_taps
 from .layers import Conv, Dense, DropPath, gelu_exact, instance_norm_2d
 from .swin import SwinTransformer
 
@@ -58,13 +58,20 @@ class MSDeformAttn(nn.Module):
     n_points: int = 4
     ratio: float = 1.0
     dtype: Any = None
+    # tap-based TPU fast path (ops/pallas/msda.py): active when > 0 AND the
+    # queries form a regular grid of shape ``query_shape`` (the adaptor's
+    # case).  Exact while learned offsets stay within tap_radius - 1 level
+    # pixels; 0 selects the exact gather path.
+    tap_radius: int = 0
 
     @nn.compact
     def __call__(self, query, reference_points, input_flatten,
-                 spatial_shapes: Sequence[Tuple[int, int]]):
+                 spatial_shapes: Sequence[Tuple[int, int]],
+                 query_shape: Tuple[int, int] = None):
         """
         query: [B, Lq, C]; reference_points: [B, Lq, n_levels, 2] in [0,1];
         input_flatten: [B, S, C]; spatial_shapes: static [(H,W), ...].
+        query_shape: static (Hq, Wq) when queries are a regular grid.
         """
         B, Lq, _ = query.shape
         S = input_flatten.shape[1]
@@ -93,8 +100,18 @@ class MSDeformAttn(nn.Module):
         locations = (reference_points[:, :, None, :, None, :]
                      + offsets / normalizer[None, None, None, :, None, :])
 
-        out = ms_deform_attn(value, spatial_shapes, locations,
-                             weights.astype(value.dtype))
+        use_taps = (self.tap_radius > 0 and query_shape is not None
+                    and Lq == query_shape[0] * query_shape[1]
+                    and all(query_shape[0] % h == 0 and query_shape[1] % w == 0
+                            and query_shape[0] // h == query_shape[1] // w
+                            for h, w in spatial_shapes))
+        if use_taps:
+            out = ms_deform_attn_taps(value, spatial_shapes, locations,
+                                      weights.astype(value.dtype),
+                                      tuple(query_shape), self.tap_radius)
+        else:
+            out = ms_deform_attn(value, spatial_shapes, locations,
+                                 weights.astype(value.dtype))
         return Dense(self.d_model, kernel_init=_xavier_uniform,
                      dtype=self.dtype, name="output_proj")(out)
 
@@ -138,17 +155,19 @@ class Extractor(nn.Module):
     drop: float = 0.0
     drop_path: float = 0.0
     dtype: Any = None
+    tap_radius: int = 0
 
     @nn.compact
     def __call__(self, query, reference_points, feat, spatial_shapes, H, W,
                  deterministic: bool = True):
         attn = MSDeformAttn(self.dim, self.n_levels, self.num_heads,
                             self.n_points, self.deform_ratio,
-                            dtype=self.dtype, name="attn")(
+                            dtype=self.dtype, tap_radius=self.tap_radius,
+                            name="attn")(
             _cast(AdaptorLayerNorm(name="query_norm")(query), self.dtype),
             reference_points,
             _cast(AdaptorLayerNorm(name="feat_norm")(feat), self.dtype),
-            spatial_shapes)
+            spatial_shapes, query_shape=(H, W))
         query = query + attn
         ffn = ConvFFN(int(self.dim * self.cffn_ratio), self.dim,
                       self.drop, dtype=self.dtype, name="ffn")
@@ -203,6 +222,7 @@ class DeformNeck(nn.Module):
     cffn_ratio: float = 0.25
     deform_ratio: float = 1.0
     dtype: Any = None
+    tap_radius: int = 0
 
     @nn.compact
     def __call__(self, image, features: List[jnp.ndarray], deterministic: bool = True):
@@ -220,6 +240,7 @@ class DeformNeck(nn.Module):
             c = Extractor(self.dim, self.num_heads, self.n_points, 1,
                           self.deform_ratio, self.cffn_ratio, self.drop,
                           self.drop_path, dtype=self.dtype,
+                          tap_radius=self.tap_radius,
                           name=f"extractors_{idx}")(
                 c, ref, flat, [(fh, fw)], H, W, deterministic)
         return c.reshape(B, H, W, self.dim)
@@ -236,6 +257,7 @@ class SwinAdaptor(nn.Module):
     out_channels: int
     drop_path_rate: float = 0.0
     dtype: Any = None
+    tap_radius: int = 0
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -247,7 +269,7 @@ class SwinAdaptor(nn.Module):
         features = [outs[f"p{i}"] for i in range(4)]
         out = DeformNeck(self.out_channels, [96, 192, 384, 768],
                          drop_path=0.0, deform_ratio=0.5, dtype=self.dtype,
-                         name="neck")(
+                         tap_radius=self.tap_radius, name="neck")(
             x, features, deterministic)
         pooled = nn.avg_pool(out, (2, 2), strides=(2, 2))
         return [out, pooled]

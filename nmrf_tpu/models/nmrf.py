@@ -104,6 +104,9 @@ class NMRF(nn.Module):
     compute_dtype: str = "float32"
     # fused Pallas window-attention kernel in the NMP stages
     use_pallas: bool = False
+    # tap-based MSDA fast path in the swin DeformNeck (ops/pallas/msda.py);
+    # 0 = exact gather path
+    msda_tap_radius: int = 0
     # mesh axis name when the decode region (cost volume -> disparity) runs
     # H-sharded inside shard_map; the backbone is sharded by GSPMD outside
     # (parallel/mesh.py make_sharded_forward)
@@ -122,7 +125,8 @@ class NMRF(nn.Module):
             self.image_encoder = SwinAdaptor(
                 out_channels=self.backbone_out_channels,
                 drop_path_rate=self.backbone_drop_path,
-                dtype=self.dtype, name="backbone")
+                dtype=self.dtype, tap_radius=self.msda_tap_radius,
+                name="backbone")
         else:
             raise ValueError(f"unknown backbone {self.backbone_type}")
 

@@ -1,18 +1,26 @@
-"""Multi-scale deformable attention — pure-jnp golden implementation.
+"""Multi-scale deformable attention — jnp golden + tap-based TPU fast path.
 
 Behavioral parity target: reference ``ms_deform_attn_core_pytorch``
 (``ops/functions/ms_deform_attn_func.py:49-71``), the numerical golden model
 the reference validates its CUDA kernel against (``ops/test.py``).  Sampling
 uses torch grid_sample semantics: bilinear, zeros padding, align_corners=False.
 
-This formulation is fully differentiable through XLA (gather + weighted sum);
-a Pallas kernel with a custom VJP can be swapped in for the hot path.
+Two implementations:
+  * ``ms_deform_attn`` — exact gather formulation (golden; differentiable
+    through XLA).  Gather-bound on TPU.
+  * ``ms_deform_attn_taps`` — tap-based formulation for grid-aligned queries
+    (the adaptor's case): dense static taps replace the gathers (Pallas
+    kernel, ``ops/pallas/msda.py``), exact while samples stay within
+    ``radius`` level-pixels of each query's aligned cell.
 
 Level spatial shapes are STATIC (python tuples) — required for XLA.
 """
 
+import functools
 from typing import Sequence, Tuple
 
+import numpy as np
+import jax
 import jax.numpy as jnp
 
 from .sampling import grid_sample_2d
@@ -50,3 +58,133 @@ def ms_deform_attn(value, spatial_shapes: Sequence[Tuple[int, int]],
         w = w.transpose(0, 2, 1, 3).reshape(B * M, Lq, P)
         out = out + (sampled * w[..., None]).sum(axis=2).reshape(B, M, Lq, D).transpose(0, 2, 1, 3)
     return out.reshape(B, Lq, M * D)
+
+
+# ------------------------------------------------------------------------- #
+# Tap-based fast path (grid-aligned queries; see ops/pallas/msda.py)
+# ------------------------------------------------------------------------- #
+
+def _tap_level_inputs(locations_l, weights_l, spatial_shape, query_shape):
+    """Displacements in level pixels relative to each query's base cell.
+
+    locations_l: [B, Lq, M, P, 2] (x, y in [0, 1]); weights_l: [B, Lq, M, P].
+    Returns dx, dy, aw as [B, Hq, Wq, M*P] f32.
+    """
+    from .pallas.msda import base_plus_one
+
+    Hl, Wl = spatial_shape
+    Hq, Wq = query_shape
+    B, Lq, M, P, _ = locations_l.shape
+    f = Hq // Hl
+    assert Hq == Hl * f and Wq == Wl * f, (query_shape, spatial_shape)
+    base_x = (base_plus_one(Wq, f) - 1).astype(np.float32)   # [Wq]
+    base_y = (base_plus_one(Hq, f) - 1).astype(np.float32)   # [Hq]
+    loc = locations_l.reshape(B, Hq, Wq, M * P, 2).astype(jnp.float32)
+    dx = loc[..., 0] * Wl - 0.5 - base_x[None, None, :, None]
+    dy = loc[..., 1] * Hl - 0.5 - base_y[None, :, None, None]
+    aw = weights_l.reshape(B, Hq, Wq, M * P).astype(jnp.float32)
+    return dx, dy, aw
+
+
+def _tap_level_reference(value_map, dx, dy, aw, num_heads, radius):
+    """jnp tap formulation (differentiable; VJP source for the kernel).
+
+    value_map: [B, Hl, Wl, M*D]; dx/dy/aw: [B, Hq, Wq, M*P] f32.
+    Bit-identical semantics to ``ops.pallas.msda.msda_taps_level``.
+    """
+    B, Hl, Wl, MD = value_map.shape
+    _, Hq, Wq, MP = dx.shape
+    M = num_heads
+    P = MP // M
+    D = MD // M
+    f = Hq // Hl
+    r = int(radius)
+    taps = 2 * r + 1
+    vpad = jnp.pad(value_map,
+                   ((0, 0), (r + 1, r + 1), (r + 1, r + 1), (0, 0)))
+    # upsampled halo map: U[j] = vpad[base(j - r*f) + r + 1], j in [0, Hq+2rf)
+    jy = np.arange(Hq + 2 * r * f, dtype=np.int64) - r * f
+    iy = ((2 * jy + 1 + f) // (2 * f)).astype(np.int32) + r
+    jx = np.arange(Wq + 2 * r * f, dtype=np.int64) - r * f
+    ix = ((2 * jx + 1 + f) // (2 * f)).astype(np.int32) + r
+    U = vpad[:, iy][:, :, ix]                         # [B, Hq+2rf, Wq+2rf, MD]
+
+    dx5 = dx.reshape(B, Hq, Wq, M, P)
+    dy5 = dy.reshape(B, Hq, Wq, M, P)
+    aw5 = aw.reshape(B, Hq, Wq, M, P)
+
+    def body(acc, t):
+        ty = t // taps - r
+        tx = t % taps - r
+        hy = jnp.maximum(0.0, 1.0 - jnp.abs(dy5 - ty))
+        hx = jnp.maximum(0.0, 1.0 - jnp.abs(dx5 - tx))
+        w = (aw5 * hy * hx).sum(-1)                   # [B, Hq, Wq, M]
+        u = jax.lax.dynamic_slice(
+            U, (0, (ty + r) * f, (tx + r) * f, 0), (B, Hq, Wq, MD))
+        u = u.reshape(B, Hq, Wq, M, D).astype(jnp.float32)
+        return acc + w[..., None] * u, ()
+
+    acc, _ = jax.lax.scan(
+        body, jnp.zeros((B, Hq, Wq, M, D), jnp.float32),
+        jnp.arange(taps * taps))
+    return acc.reshape(B, Hq, Wq, MD).astype(value_map.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _tap_level_op(value_map, dx, dy, aw, num_heads, radius):
+    from .pallas.msda import msda_taps_level
+
+    return msda_taps_level(value_map, dx, dy, aw, num_heads, radius)
+
+
+def _tap_fwd(value_map, dx, dy, aw, num_heads, radius):
+    return (_tap_level_op(value_map, dx, dy, aw, num_heads, radius),
+            (value_map, dx, dy, aw))
+
+
+def _tap_bwd(num_heads, radius, res, g):
+    value_map, dx, dy, aw = res
+    _, vjp = jax.vjp(
+        lambda v, x, y, w: _tap_level_reference(v, x, y, w, num_heads,
+                                                radius),
+        value_map, dx, dy, aw)
+    return vjp(g)
+
+
+_tap_level_op.defvjp(_tap_fwd, _tap_bwd)
+
+
+def ms_deform_attn_taps(value, spatial_shapes: Sequence[Tuple[int, int]],
+                        sampling_locations, attention_weights,
+                        query_shape: Tuple[int, int], radius: int,
+                        use_kernel: bool = True):
+    """Tap-based MSDA for grid-aligned queries (same contract as
+    ``ms_deform_attn``, plus the static query grid shape).
+
+    Exact (matches ``ms_deform_attn`` bit-for-bit up to summation order)
+    whenever every sample lies within ``radius`` level-pixels of its query's
+    aligned base cell per axis — guaranteed when learned offsets stay within
+    ``radius - 1`` (the in-cell alignment fraction is < 1); contributions
+    beyond the tap span are dropped.  The reference initialises offsets to
+    <= 4 px (``ops/modules/ms_deform_attn.py:64-75``).
+
+    value: [B, S, M, D]; sampling_locations: [B, Lq, M, L, P, 2];
+    attention_weights: [B, Lq, M, L, P]; query_shape: (Hq, Wq), Lq = Hq*Wq.
+    Returns [B, Lq, M*D].
+    """
+    B, S, M, D = value.shape
+    _, Lq, _, L, P, _ = sampling_locations.shape
+    Hq, Wq = query_shape
+    assert Lq == Hq * Wq
+    out = None
+    start = 0
+    fn = _tap_level_op if use_kernel else _tap_level_reference
+    for lid, (Hl, Wl) in enumerate(spatial_shapes):
+        vmap_l = value[:, start:start + Hl * Wl].reshape(B, Hl, Wl, M * D)
+        start += Hl * Wl
+        dx, dy, aw = _tap_level_inputs(
+            sampling_locations[:, :, :, lid], attention_weights[:, :, :, lid],
+            (Hl, Wl), query_shape)
+        o = fn(vmap_l, dx, dy, aw, M, radius)
+        out = o if out is None else out + o
+    return out.reshape(B, Lq, M * D).astype(value.dtype)

@@ -184,3 +184,31 @@ class TestBF16Path:
             assert np.quantile(d, 0.5) < 0.2, (k, np.quantile(d, 0.5))
         dp = np.abs(outs["bfloat16"]["prob"] - outs["float32"]["prob"])
         assert dp.max() < 0.15, dp.max()
+
+
+class TestWithRefinementFlag:
+    """NMP.WITH_REFINEMENT gates the refinement stage (honored here; the
+    reference accepts-but-ignores it — SURVEY defect §2.9.8)."""
+
+    def test_refinement_off(self):
+        cfg = get_cfg()
+        cfg.DPN.MAX_DISP = 64
+        cfg.NMP.WITH_REFINEMENT = False
+        cfg.freeze()
+        model, criterion = build_model(cfg)
+        B, H, W = 1, 32, 64
+        rng = np.random.RandomState(0)
+        img = jnp.asarray(rng.rand(B, H, W, 3).astype(np.float32) * 255)
+        params = model.init(jax.random.PRNGKey(0), img, img, train=False)
+        flat = {jax.tree_util.keystr(p) for p, _ in
+                jax.tree_util.tree_flatten_with_path(params)[0]}
+        assert not any("refinement" in k or "refine_head" in k for k in flat)
+        out = jax.jit(lambda p, a, b: model.apply(p, a, b, train=True))(
+            params, img, img)
+        assert "disp_pred" not in out and "disp_pred_layers" not in out
+        assert out["disp"].shape == (B, H, W)  # coarse argmax decode x8
+        gt = jnp.asarray((rng.rand(B, H, W) * 30).astype(np.float32))
+        losses = criterion(out, {"disp": gt,
+                                 "valid": jnp.ones((B, H, W), bool)})
+        assert "loss_disp" not in losses
+        assert np.isfinite(float(losses["total"]))
