@@ -36,6 +36,7 @@ class DPN(nn.Module):
     normalize_before: bool = False
     dtype: Any = None
     spatial_axis: Any = None
+    use_pallas: bool = False  # fused CSWin stripe attention in propagation
 
     @nn.compact
     def __call__(self, cost_volume, fmap1_list, deterministic: bool = True):
@@ -84,6 +85,7 @@ class DPN(nn.Module):
             normalize_before=self.normalize_before,
             return_intermediate=False,
             dtype=self.dtype,
+            use_pallas=self.use_pallas,
             spatial_axis=self.spatial_axis,
             name="propagation",
         )(flat, label_seeds, context, deterministic)

@@ -153,6 +153,7 @@ class NMRF(nn.Module):
             dropout=self.dropout,
             normalize_before=self.normalize_before,
             dtype=self.dtype,
+            use_pallas=self.use_pallas,
             spatial_axis=self.spatial_axis,
             name="dpn")
 

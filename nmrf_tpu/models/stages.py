@@ -117,6 +117,7 @@ class Propagation(nn.Module):
     normalize_before: bool = False
     return_intermediate: bool = False
     dtype: Any = None
+    use_pallas: bool = False  # fused CSWin stripe attention in the layers
     spatial_axis: Any = None
 
     @nn.compact
@@ -154,6 +155,7 @@ class Propagation(nn.Module):
             ("dropout", self.dropout),
             ("normalize_before", self.normalize_before),
             ("dtype", self.dtype),
+            ("use_pallas", self.use_pallas),
             ("spatial_axis", self.spatial_axis),
         )
         ScanStack = nn.scan(
