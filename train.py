@@ -104,7 +104,12 @@ def evaluate(eval_step, params, cfg, logger):
             disp = padder.unpad(disp)
             res = {"disp": disp}
             if "proposal" in out:
-                res["proposal"] = np.asarray(out["proposal"])
+                # crop the 1/8-res proposal grid from the bucket-padded
+                # extent back to the padder extent the evaluator expects
+                prop = np.asarray(out["proposal"])
+                hb, wb, hp, wp = Hb // 8, Wb // 8, H // 8, W // 8
+                prop = prop.reshape(-1, hb, wb, prop.shape[-1])[:, :hp, :wp]
+                res["proposal"] = prop.reshape(prop.shape[0], hp * wp, -1)
             return res
 
         import jax as _jax
