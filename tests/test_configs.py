@@ -1,0 +1,37 @@
+"""Every shipped YAML config merges cleanly and resolves to a valid model
+spec (reference ``configs/*.yaml`` parity — values match the reference
+tree; ``__BASE__`` chains resolve)."""
+
+import glob
+import os.path as osp
+
+import pytest
+
+from nmrf_tpu.config import get_cfg
+from nmrf_tpu.models import build_model
+
+CONFIGS = sorted(glob.glob(
+    osp.join(osp.dirname(osp.dirname(osp.abspath(__file__))),
+             "configs", "*.yaml")))
+
+
+@pytest.mark.parametrize("path", CONFIGS, ids=[osp.basename(p) for p in CONFIGS])
+def test_config_merges_and_builds(path):
+    cfg = get_cfg()
+    cfg.merge_from_file(path)
+    cfg.freeze()
+    # constructing the modules validates every spec field (flax dataclass
+    # construction is cheap — no params are materialized)
+    model, criterion = build_model(cfg)
+    assert model.backbone_type in ("resnet", "swin")
+    assert len(cfg.SOLVER.LOSS_WEIGHTS) == (cfg.NMP.NUM_INFER_LAYERS
+                                            + cfg.NMP.NUM_REFINE_LAYERS)
+    assert cfg.DPN.MAX_DISP % 8 == 0
+    # eval lists stay aligned with the test datasets
+    n = len(cfg.DATASETS.TEST)
+    for k in ("EVAL_THRESH", "EVAL_MAX_DISP", "EVAL_ONLY_VALID", "EVAL_PROP"):
+        assert len(getattr(cfg.TEST, k)) >= n, (path, k)
+
+
+def test_all_configs_found():
+    assert len(CONFIGS) >= 6, CONFIGS  # the reference ships 6 variants
