@@ -16,12 +16,18 @@ from nmrf_tpu.config import get_cfg
 from nmrf_tpu.models import build_model
 
 
-def test_evaluate_synthetic_end_to_end():
+import pytest
+
+
+@pytest.mark.parametrize("size", ["synthetic_2x48x96", "synthetic_1x50x70"])
+def test_evaluate_synthetic_end_to_end(size):
+    """48x96 divides everything; 50x70 forces real padder + bucket padding
+    (56x72 -> 64x96) and the proposal-grid crop back to the padder extent."""
     import train as train_mod
 
     cfg = get_cfg()
     cfg.DPN.MAX_DISP = 64
-    cfg.DATASETS.TEST = ["synthetic_2x48x96"]
+    cfg.DATASETS.TEST = [size]
     cfg.TEST.EVAL_THRESH = [["1.0", "3.0"]]
     cfg.TEST.EVAL_MAX_DISP = [64]
     cfg.TEST.EVAL_ONLY_VALID = [True]
