@@ -371,12 +371,18 @@ def load_pretrained_swin(params, weight_path: str):
 # ---- orbax-backed native checkpointing ---- #
 
 def save_checkpoint(ckpt_dir: str, step: int, state, keep_latest: bool = True):
-    """Save train state (params/opt_state/step) with orbax."""
+    """Save train state (params/opt_state/step) with orbax.
+
+    Arrays are pulled to host first so the checkpoint is topology-free:
+    orbax otherwise records the device sharding and refuses to restore
+    under a different device count (train on a pod -> eval on one chip,
+    or the multi-host smoke tests here)."""
+    import jax
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(os.path.join(ckpt_dir, f"step_{step:08d}"))
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save(path, state, force=True)
+    ckptr.save(path, jax.device_get(state), force=True)
     ckptr.wait_until_finished()
     if keep_latest:
         latest = os.path.join(ckpt_dir, "latest.txt")

@@ -189,6 +189,13 @@ def main():
                 opt_state = tx.init(params)
 
     mesh = make_mesh(cfg.TPU.MESH_DATA, cfg.TPU.MESH_SPATIAL)
+    if resume and not resume.endswith(".pth"):
+        # orbax restores arrays committed to a single device; re-replicate
+        # over the mesh or the sharded train step rejects the mixed placement
+        from nmrf_tpu.parallel import replicated
+
+        params = jax.device_put(params, replicated(mesh))
+        opt_state = jax.device_put(opt_state, replicated(mesh))
     if cfg.TPU.MESH_SPATIAL > 1:
         # H-sharded decode region (shard_map collectives); same param tree,
         # bit-identical f32 outputs (tests/test_spatial_model.py)
