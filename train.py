@@ -9,11 +9,8 @@ a single device mesh, and XLA collectives — no spawner needed.
 """
 
 import argparse
-import json
 import logging
 import os
-import sys
-import time
 
 import numpy as np
 
@@ -142,7 +139,6 @@ def main():
 
     import jax
     import jax.numpy as jnp
-    import optax
 
     from nmrf_tpu.data import PrefetchLoader, ShardedBatchSampler, build_train_dataset
     from nmrf_tpu.models import build_model
