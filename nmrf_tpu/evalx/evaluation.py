@@ -92,7 +92,6 @@ class DispEvaluator:
 
     def _process_prop(self, proposal, disp_gt, valid_gt, sp_label, image=None):
         from ..ops.downsample import downsample_disp
-        import jax.numpy as jnp
 
         gt = np.where(valid_gt, disp_gt, 0.0)
         H, W = gt.shape
@@ -102,9 +101,11 @@ class DispEvaluator:
 
             sp_label = slic_segments(image)
         if sp_label is not None:
+            # numpy inputs keep the pooling on host (one device round-trip
+            # per eval frame costs ~30 ms on the relay)
             lab = np.asarray(sp_label)
-            mini = np.asarray(downsample_disp(jnp.asarray(gt[None]),
-                                              jnp.asarray(lab[None])))[0]
+            mini = downsample_disp(gt[None].astype(np.float32),
+                                   lab[None])[0]
         else:
             # fallback: plain valid-mean pooling per 8x8 cell
             g = gt[: h * 8, : w * 8].reshape(h, 8, w, 8).transpose(0, 2, 1, 3).reshape(h, w, 64)

@@ -106,6 +106,17 @@ class MSDeformAttn(nn.Module):
                             and query_shape[0] // h == query_shape[1] // w
                             for h, w in spatial_shapes))
         if use_taps:
+            from ..ops.msda import tap_out_of_range_fraction
+
+            # observability for the tap-radius exactness precondition:
+            # fraction of samples whose contribution the tap kernel drops
+            # (trained offsets are unconstrained — check converted
+            # checkpoints with tools/check_tap_coverage.py).  sow is free
+            # unless the caller requests the "intermediates" collection.
+            self.sow("intermediates", "msda_tap_oob",
+                     tap_out_of_range_fraction(
+                         locations, spatial_shapes, tuple(query_shape),
+                         self.tap_radius))
             out = ms_deform_attn_taps(value, spatial_shapes, locations,
                                       weights.astype(value.dtype),
                                       tuple(query_shape), self.tap_radius)

@@ -14,10 +14,15 @@ from the metric's contract and documented here:
   boundaries — the documented intent of the upstream op.
 
 Implemented as dense [64 x 64] per-cell equality matmuls (MXU-friendly),
-no scatter/atomics.
+no scatter/atomics.  Dispatches on the input type: numpy arrays stay on
+host (the evaluator runs metric math per frame — a device round-trip per
+eval sample costs ~30 ms on the relay this framework is tuned for), jax
+arrays/tracers run under jit.
 """
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def downsample_disp(disp, label, factor=8):
@@ -31,6 +36,7 @@ def downsample_disp(disp, label, factor=8):
       [B, H//factor, W//factor] pooled disparity (already in full-res units;
       caller rescales by 1/factor if comparing to coarse-grid proposals).
     """
+    xp = jnp if isinstance(disp, jax.Array) else np
     B, H, W = disp.shape
     f = factor
     h, w = H // f, W // f
@@ -40,12 +46,12 @@ def downsample_disp(disp, label, factor=8):
 
     same = (l[..., :, None] == l[..., None, :]).astype(disp.dtype)  # [B,h,w,K,K]
     # votes for pixel i's label among valid pixels
-    votes = jnp.einsum("bhwij,bhwj->bhwi", same, valid)
-    votes = jnp.where(valid > 0, votes, -1.0)  # invalid pixels can't win
-    winner = jnp.argmax(votes, axis=-1)  # [B,h,w]
+    votes = xp.einsum("bhwij,bhwj->bhwi", same, valid)
+    votes = xp.where(valid > 0, votes, -1.0)  # invalid pixels can't win
+    winner = xp.argmax(votes, axis=-1)  # [B,h,w]
 
-    win_match = jnp.take_along_axis(same, winner[..., None, None], axis=-2).squeeze(-2)
+    win_match = xp.take_along_axis(same, winner[..., None, None], axis=-2).squeeze(-2)
     sel = win_match * valid  # valid pixels sharing the winning label
     count = sel.sum(axis=-1)
-    pooled = (d * sel).sum(axis=-1) / jnp.maximum(count, 1.0)
-    return jnp.where(count > 0, pooled, 0.0)
+    pooled = (d * sel).sum(axis=-1) / xp.maximum(count, 1.0)
+    return xp.where(count > 0, pooled, 0.0)

@@ -188,3 +188,21 @@ def ms_deform_attn_taps(value, spatial_shapes: Sequence[Tuple[int, int]],
         o = fn(vmap_l, dx, dy, aw, M, radius)
         out = o if out is None else out + o
     return out.reshape(B, Lq, M * D).astype(value.dtype)
+
+
+def tap_out_of_range_fraction(sampling_locations, spatial_shapes,
+                              query_shape, radius):
+    """Fraction of sampling points whose displacement from their query's
+    base cell exceeds the tap span per axis — i.e. whose contribution
+    ``ms_deform_attn_taps`` drops.  0.0 means the tap path is exact for
+    these inputs.  Cheap (one elementwise reduce); jit-safe."""
+    fracs = []
+    for lid, (Hl, Wl) in enumerate(spatial_shapes):
+        dx, dy, _ = _tap_level_inputs(
+            sampling_locations[:, :, :, lid],
+            jnp.zeros(sampling_locations.shape[:3]
+                      + (sampling_locations.shape[4],), jnp.float32),
+            (Hl, Wl), query_shape)
+        oob = (jnp.abs(dx) > radius) | (jnp.abs(dy) > radius)
+        fracs.append(jnp.mean(oob.astype(jnp.float32)))
+    return jnp.stack(fracs).max()

@@ -96,16 +96,6 @@ def block_diagonal_mask_jnp(masks, WB):
     return (blocks + off).reshape(-1, WB * T, WB * T)
 
 
-def choose_window_block(nW, T, target=512, max_wb=8):
-    """Largest WB <= max_wb dividing nW with WB*T <= target (MXU fill vs
-    VMEM: the [R, R] logits/mask tiles grow quadratically in WB)."""
-    wb = 1
-    for cand in range(2, max_wb + 1):
-        if nW % cand == 0 and cand * T <= target:
-            wb = cand
-    return wb
-
-
 # --------------------------------------------------------------------------- #
 # Plain masked attention (CSWin stripes, BasicAttention candidate blocks)
 # --------------------------------------------------------------------------- #

@@ -128,3 +128,42 @@ class TestTapKernel:
                 _tap_level_op(v, x, y, a, M, r) ** 2),
             (vmap, dx, dy, aw), order=1, modes=["rev"],
             atol=5e-3, rtol=5e-3)
+
+
+class TestTapCoverageDiagnostic:
+    def test_fraction_zero_within_radius_and_positive_beyond(self):
+        from nmrf_tpu.ops.msda import tap_out_of_range_fraction
+
+        rng = np.random.default_rng(7)
+        levels = [(4, 8)]
+        Hq, Wq, M, D, P, r = 8, 16, 2, 4, 2, 4
+        _, locs, _ = _make_case(rng, Hq, Wq, levels, M, D, P, max_off=r - 1)
+        frac = tap_out_of_range_fraction(locs, levels, (Hq, Wq), r)
+        assert float(frac) == 0.0
+        far = locs.at[..., 0].add((r + 3) / 8.0)  # +r+3 level px in x
+        frac = tap_out_of_range_fraction(far, levels, (Hq, Wq), r)
+        assert float(frac) > 0.9
+
+    def test_module_sows_oob_intermediate(self):
+        """MSDeformAttn records the dropped-sample fraction when the tap
+        path is active (read back via mutable=['intermediates'];
+        tools/check_tap_coverage.py builds on this)."""
+        import jax
+        import jax.numpy as jnp
+
+        from nmrf_tpu.models.adaptor import MSDeformAttn
+
+        rng = np.random.default_rng(8)
+        Hq, Wq, C = 8, 16, 16
+        attn = MSDeformAttn(d_model=C, n_levels=1, n_heads=2, n_points=2,
+                            tap_radius=3)
+        q = jnp.asarray(rng.standard_normal((1, Hq * Wq, C)), jnp.float32)
+        ref = jnp.asarray(_grid_ref_points(Hq, Wq)[None, :, None, :])
+        feat = jnp.asarray(rng.standard_normal((1, Hq * Wq, C)), jnp.float32)
+        params = attn.init(jax.random.PRNGKey(0), q, ref, feat, [(8, 16)],
+                           query_shape=(Hq, Wq))
+        _, inter = attn.apply(params, q, ref, feat, [(8, 16)],
+                              query_shape=(Hq, Wq),
+                              mutable=["intermediates"])
+        oob = inter["intermediates"]["msda_tap_oob"][0]
+        assert float(oob) == 0.0  # zero-init offsets stay at the reference

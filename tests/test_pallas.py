@@ -92,8 +92,8 @@ class TestModuleIntegration:
     def test_pallas_path_matches_xla_path(self, shift):
         """WindowAttention(use_pallas=True) must equal the plain XLA path.
 
-        H=12, W=18, ws=6 -> nW=6 windows; choose_window_block picks WB=2,
-        exercising the block-diagonal packing."""
+        H=12, W=18, ws=6 -> 3 window columns; choose_column_block picks
+        WB=3, exercising the window-packed grid."""
         B, H, W, N, dim, heads, ws = 1, 12, 18, 2, 8, 2, 6
         rng = np.random.RandomState(0)
         qkv = jnp.asarray(rng.randn(B, H, W, N, 3 * dim).astype(np.float32))

@@ -98,3 +98,20 @@ class TestEvaluatorSuperpixel:
         g = disp[0].reshape(H // 8, 8, W // 8, 8).transpose(0, 2, 1, 3)
         expected = g.reshape(H // 8, W // 8, 64).mean(-1).mean()
         np.testing.assert_allclose(res["prop_epe"], expected, rtol=1e-5)
+
+
+def test_downsample_disp_numpy_matches_jnp():
+    """Host (numpy) dispatch is bit-identical to the jnp golden — the
+    evaluator uses the numpy path to avoid per-frame device round-trips."""
+    import jax.numpy as jnp
+
+    from nmrf_tpu.ops.downsample import downsample_disp
+
+    rng = np.random.default_rng(3)
+    disp = (rng.random((2, 16, 24)) * 50).astype(np.float32)
+    disp[rng.random((2, 16, 24)) < 0.3] = 0.0
+    label = rng.integers(0, 9, (2, 16, 24)).astype(np.int32)
+    got_np = downsample_disp(disp, label)
+    got_j = np.asarray(downsample_disp(jnp.asarray(disp), jnp.asarray(label)))
+    assert isinstance(got_np, np.ndarray)
+    np.testing.assert_allclose(got_np, got_j, atol=1e-6)

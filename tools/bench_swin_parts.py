@@ -9,7 +9,6 @@ Usage: python tools/bench_swin_parts.py [ITERS]
 import json
 import os
 import sys
-import time
 
 import numpy as np
 
@@ -33,23 +32,10 @@ def main():
     rng = np.random.RandomState(0)
     key = jax.random.PRNGKey(0)
 
+    from nmrf_tpu.utils.benchmarks import chained_ms
+
     def timed(tag, fn, *args):
-        """fn(*args) -> scalar; chain iters executions via a token data dep
-        inside one lax.scan (bench.py methodology)."""
-
-        @jax.jit
-        def chained(*a):
-            def body(tok, _):
-                r = fn(a[0] + tok.astype(a[0].dtype), *a[1:])
-                return jnp.mean(r).astype(jnp.float32) * 0.0, ()
-
-            tok, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
-            return tok
-
-        float(chained(*args))  # compile + warm
-        t0 = time.perf_counter()
-        float(chained(*args))
-        dt = (time.perf_counter() - t0) / iters * 1e3
+        dt = chained_ms(fn, *args, iters=iters)
         print(json.dumps({"part": tag, "ms": round(dt, 2)}), flush=True)
         return dt
 

@@ -8,7 +8,6 @@ methodology.  Usage: python tools/probe_msda_taps.py [RADIUS] [ITERS]
 import json
 import os
 import sys
-import time
 
 import numpy as np
 
@@ -32,20 +31,10 @@ def main():
     M, D, P = 8, 8, 4
     rng = np.random.default_rng(0)
 
+    from nmrf_tpu.utils.benchmarks import chained_ms
+
     def timed(tag, fn, *args):
-        @jax.jit
-        def chained(*a):
-            def body(tok, _):
-                out = fn(a[0] + tok.astype(a[0].dtype), *a[1:])
-                return jnp.mean(out).astype(jnp.float32) * 0.0, ()
-
-            tok, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
-            return tok
-
-        float(chained(*args))
-        t0 = time.perf_counter()
-        float(chained(*args))
-        dt = (time.perf_counter() - t0) / iters * 1e3
+        dt = chained_ms(fn, *args, iters=iters)
         print(json.dumps({"part": tag, "ms": round(dt, 3)}), flush=True)
 
     ry, rx = np.meshgrid((np.arange(Hq) + 0.5) / Hq,

@@ -52,12 +52,13 @@ def summarize_trace(trace_dir, top=40):
             continue
         name = e["name"]
         args = e.get("args", {}) or {}
-        # module-level events duplicate their children; keep leaves only
-        if name.startswith("jit_") or args.get("group_id") is None:
-            pass
         d = float(e.get("dur", 0)) / 1000.0
         if name.startswith("jit_"):
             total = max(total, d)
+            continue
+        # control-flow region events (hlo_category 'while'/'conditional'/
+        # 'call') duplicate their children's time; keep HLO leaves only
+        if args.get("hlo_category") in ("while", "conditional", "call"):
             continue
         dur[name] += d
         cnt[name] += 1
