@@ -22,8 +22,10 @@ def get_args_parser():
     parser.add_argument("--input", nargs="+", default=None,
                         help="two glob patterns: left right")
     parser.add_argument("--output", default="demo_output", type=str)
+    # reference inference.py:74-87 supports error|disparity and raises
+    # otherwise (its Visualizer.draw_uncertainty has no CLI surface either)
     parser.add_argument("--show-attr", default="disparity",
-                        choices=["disparity", "error", "uncertainty"])
+                        choices=["disparity", "error"])
     parser.add_argument("opts", default=None, nargs=argparse.REMAINDER)
     return parser
 
