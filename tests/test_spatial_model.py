@@ -133,3 +133,33 @@ class TestSpatialTrainStep:
             max, jax.tree_util.tree_map(
                 lambda a, b: float(jnp.abs(a - b).max()), params_r, params2))
         assert delta > 0
+
+
+class TestSpatialSwinForwardParity:
+    @pytest.mark.slow
+    def test_swin_eval_forward_matches_unsharded(self):
+        """Swin variant under the spatial mesh: the deformable backbone
+        (tap-MSDA Pallas path) runs under GSPMD, the decode region
+        H-sharded inside shard_map — must match the unsharded forward."""
+        cfg = get_cfg()
+        cfg.BACKBONE.MODEL_TYPE = "swin"
+        cfg.BACKBONE.OUT_CHANNELS = 128
+        cfg.BACKBONE.COMPAT = False
+        cfg.DATASETS.DIVIS_BY = 32
+        cfg.DPN.MAX_DISP = 64
+        cfg.TPU.MSDA_TAP_RADIUS = 2  # small tap span keeps CPU time sane
+        cfg.freeze()
+        model, _ = build_model(cfg)
+        model_sp, _ = build_model(cfg, spatial_axis="spatial")
+        rng = np.random.RandomState(1)
+        img1 = jnp.asarray(rng.rand(B, H, W, 3).astype(np.float32) * 255)
+        img2 = jnp.asarray(rng.rand(B, H, W, 3).astype(np.float32) * 255)
+        params = jax.jit(
+            lambda r: model.init(r, img1[:1], img2[:1], train=False))(
+            jax.random.PRNGKey(0))
+        mesh = make_mesh(DATA, SPATIAL)
+        ref = jax.jit(lambda p, a, b: model.apply(p, a, b, train=False))(
+            params, img1, img2)
+        got = jax.jit(lambda p, a, b: spatial_sharded_apply(
+            model_sp, mesh, p, a, b, train=False))(params, img1, img2)
+        _assert_tree_close(ref, got, 1e-4, keys=["disp", "prob", "disp_pred"])
