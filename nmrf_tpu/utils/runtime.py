@@ -19,6 +19,12 @@ def configure_jax(cache_dir: str = "/root/.jax_cache",
     if env_platforms:
         jax.config.update("jax_platforms", env_platforms)
     if cache_dir:
+        if env_platforms and "cpu" in env_platforms.split(","):
+            # partition the cache by platform: CPU executables AOT-compiled
+            # by the remote helper record that machine's features (the
+            # cpu_aot_loader mismatch warnings — "could lead to SIGILL");
+            # keep locally-run CPU artifacts in their own cache
+            cache_dir = cache_dir + "_cpu"
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -27,6 +27,8 @@ jax.config.update("jax_enable_x64", False)
 # Parity tests compare against torch float32 goldens; the default matmul
 # precision in this JAX build is bf16-like even on CPU.
 jax.config.update("jax_default_matmul_precision", "highest")
-# Persist compiled executables across test sessions.
-jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+# Persist compiled executables across test sessions — in a CPU-only cache:
+# the shared /root/.jax_cache also holds CPU executables AOT-compiled by
+# the remote helper on a different machine (feature mismatch -> SIGILL risk).
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache_cpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

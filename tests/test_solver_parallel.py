@@ -94,6 +94,23 @@ class TestSamplers:
 @pytest.mark.slow
 class TestMultichipDryrun:
     def test_dryrun_8_devices(self):
-        import __graft_entry__ as g
+        # subprocess isolation: after ~140 in-process tests the accumulated
+        # compiled-executable state makes this full-train-step compile hang;
+        # the driver invokes dryrun_multichip in a fresh process too
+        import os
+        import subprocess
+        import sys
 
-        g.dryrun_multichip(8)
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        env = dict(os.environ, JAX_PLATFORMS="cpu",
+                   XLA_FLAGS="--xla_force_host_platform_device_count=8")
+        for attempt in range(2):  # CPU collective rendezvous aborts rarely
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import __graft_entry__ as g; g.dryrun_multichip(8)"],
+                cwd=repo, env=env, capture_output=True, text=True,
+                timeout=1200)
+            if r.returncode == 0:
+                break
+        assert r.returncode == 0, (r.stdout[-800:], r.stderr[-800:])
+        assert "spatial step ok" in r.stdout + r.stderr
