@@ -129,5 +129,11 @@ def get_cfg() -> CN:
     _C.TPU.MSDA_TAP_RADIUS = 6
     # Eval-time padding bucketing to bound recompiles: pad H,W up to multiples.
     _C.TPU.EVAL_BUCKET = 64
+    # Rematerialize (jax.checkpoint) each scanned NMP layer in the backward
+    # pass: activation memory for the propagation/inference/refinement stacks
+    # drops from O(num_layers) to O(1) residuals at the cost of one extra
+    # forward — the standard lever for large crops / big batches per chip.
+    # Off by default (the KITTI-crop train step fits comfortably in 16 GB).
+    _C.TPU.REMAT = False
 
     return _C

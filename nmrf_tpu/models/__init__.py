@@ -41,6 +41,7 @@ def build_model(cfg, spatial_axis=None):
         compute_dtype=cfg.TPU.COMPUTE_DTYPE,
         use_pallas=cfg.TPU.USE_PALLAS,
         msda_tap_radius=cfg.TPU.MSDA_TAP_RADIUS,
+        remat=cfg.TPU.REMAT,
     )
     criterion = Criterion(
         max_disp=cfg.SOLVER.MAX_DISP,

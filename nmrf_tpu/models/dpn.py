@@ -37,6 +37,7 @@ class DPN(nn.Module):
     dtype: Any = None
     spatial_axis: Any = None
     use_pallas: bool = False  # fused CSWin stripe attention in propagation
+    remat: bool = False  # rematerialize scanned propagation layers
 
     @nn.compact
     def __call__(self, cost_volume, fmap1_list, deterministic: bool = True):
@@ -87,6 +88,7 @@ class DPN(nn.Module):
             dtype=self.dtype,
             use_pallas=self.use_pallas,
             spatial_axis=self.spatial_axis,
+            remat=self.remat,
             name="propagation",
         )(flat, label_seeds, context, deterministic)
         # memory: [L, B, H, W, N, C]

@@ -107,6 +107,9 @@ class NMRF(nn.Module):
     # tap-based MSDA fast path in the swin DeformNeck (ops/pallas/msda.py);
     # 0 = exact gather path
     msda_tap_radius: int = 0
+    # rematerialize each scanned NMP layer in the backward pass (TPU.REMAT):
+    # O(1) activation residuals per stack instead of O(num_layers)
+    remat: bool = False
     # mesh axis name when the decode region (cost volume -> disparity) runs
     # H-sharded inside shard_map; the backbone is sharded by GSPMD outside
     # (parallel/mesh.py make_sharded_forward)
@@ -155,6 +158,7 @@ class NMRF(nn.Module):
             dtype=self.dtype,
             use_pallas=self.use_pallas,
             spatial_axis=self.spatial_axis,
+            remat=self.remat,
             name="dpn")
 
         self.inference = Inference(
@@ -166,6 +170,7 @@ class NMRF(nn.Module):
             dropout=self.dropout, normalize_before=self.normalize_before,
             return_intermediate=self.return_intermediate, dtype=self.dtype,
             use_pallas=self.use_pallas, spatial_axis=self.spatial_axis,
+            remat=self.remat,
             name="inference")
         self.infer_head = MLPBlock(self.infer_embed_dim, 8 * 8, 3, name="infer_head")
         self.infer_score_head = Dense(8 * 8, name="infer_score_head")
@@ -180,6 +185,7 @@ class NMRF(nn.Module):
                 dropout=self.dropout, normalize_before=self.normalize_before,
                 return_intermediate=self.return_intermediate, dtype=self.dtype,
                 use_pallas=self.use_pallas, spatial_axis=self.spatial_axis,
+                remat=self.remat,
                 name="refinement")
             self.refine_head = MLPBlock(self.infer_embed_dim, 4 * 4, 3, name="refine_head")
 

@@ -119,6 +119,7 @@ class Propagation(nn.Module):
     dtype: Any = None
     use_pallas: bool = False  # fused CSWin stripe attention in the layers
     spatial_axis: Any = None
+    remat: bool = False  # jax.checkpoint each scanned layer (TPU.REMAT)
 
     @nn.compact
     def __call__(self, cost_volume, label_seed, context, deterministic: bool = True):
@@ -158,8 +159,13 @@ class Propagation(nn.Module):
             ("use_pallas", self.use_pallas),
             ("spatial_axis", self.spatial_axis),
         )
+        # Under TPU.REMAT each scanned layer is rematerialized in the
+        # backward pass (prevent_cse is unnecessary inside scan and would
+        # block fusion).
+        prop_body = (nn.remat(_PropScanBody, prevent_cse=False)
+                     if self.remat else _PropScanBody)
         ScanStack = nn.scan(
-            _PropScanBody,
+            prop_body,
             variable_axes={"params": 0},
             split_rngs={"params": True, "dropout": True},
             in_axes=(0, nn.broadcast),
@@ -288,6 +294,7 @@ class _NMPStage(nn.Module):
     dtype: Any = None
     use_pallas: bool = False
     spatial_axis: Any = None
+    remat: bool = False  # jax.checkpoint each scanned layer (TPU.REMAT)
 
     # refinement=False: candidate mask + normalizer pi/64 (Inference)
     # refinement=True:  no candidate mask + normalizer pi/128 (Refinement)
@@ -383,8 +390,10 @@ class _NMPStage(nn.Module):
             ("use_pallas", self.use_pallas),
             ("spatial_axis", self.spatial_axis),
         )
+        stage_body = (nn.remat(_StageScanBody, prevent_cse=False)
+                      if self.remat else _StageScanBody)
         ScanStack = nn.scan(
-            _StageScanBody,
+            stage_body,
             variable_axes={"params": 0},
             split_rngs={"params": True, "dropout": True},
             in_axes=(0, nn.broadcast, nn.broadcast),

@@ -1,0 +1,63 @@
+"""AOT serving export (utils/export.py): serialize -> deserialize -> call
+round-trips must match the live model exactly."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from nmrf_tpu.config import get_cfg
+from nmrf_tpu.models import build_model
+from nmrf_tpu.utils.export import export_eval, save_exported, load_exported
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = get_cfg()
+    cfg.DPN.MAX_DISP = 64
+    cfg.SOLVER.MAX_DISP = 48
+    cfg.freeze()
+    model, _ = build_model(cfg)
+    rng = np.random.RandomState(3)
+    shape = (1, 32, 64, 3)
+    img1 = jnp.asarray(rng.rand(*shape).astype(np.float32) * 255)
+    img2 = jnp.asarray(rng.rand(*shape).astype(np.float32) * 255)
+    params = model.init(jax.random.PRNGKey(0), img1, img2, train=False)
+    want = jax.jit(
+        lambda a, b: model.apply(params, a, b, train=False))(img1, img2)
+    return model, params, (img1, img2), want
+
+
+def _assert_trees_equal(got, want, tol=0.0):
+    lg = jax.tree_util.tree_leaves(got)
+    lw = jax.tree_util.tree_leaves(want)
+    assert len(lg) == len(lw) and lg
+    for g, w in zip(lg, lw):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), atol=tol)
+
+
+def test_frozen_roundtrip(setup, tmp_path):
+    model, params, (img1, img2), want = setup
+    exp = export_eval(model, params, img1.shape, platforms=("cpu",))
+    path = str(tmp_path / "model.nmrfx")
+    size = save_exported(exp, path, extra_meta={"test": True})
+    assert size > 0 and (tmp_path / "model.nmrfx.json").exists()
+    rt = load_exported(path)
+    # the artifact carries its own weights: call with images only
+    _assert_trees_equal(rt.call(img1, img2), want)
+
+
+def test_hotswap_convention(setup):
+    model, params, (img1, img2), want = setup
+    exp = export_eval(model, params, img1.shape, platforms=("cpu",),
+                      freeze_params=False)
+    rt = jax.export.deserialize(exp.serialize())
+    _assert_trees_equal(rt.call(params, img1, img2), want)
+
+
+def test_wrong_shape_rejected(setup):
+    model, params, (img1, img2), _ = setup
+    exp = export_eval(model, params, img1.shape, platforms=("cpu",))
+    bad = jnp.zeros((1, 40, 64, 3), jnp.float32)
+    with pytest.raises(Exception):
+        jax.block_until_ready(exp.call(bad, bad))
