@@ -63,6 +63,10 @@ def get_cfg() -> CN:
 
     _C.DATALOADER = CN()
     _C.DATALOADER.NUM_WORKERS = 4
+    # Decode/augment in a spawn-context process pool (the torch num_workers
+    # equivalent; threads are GIL-bound to ~1 core).  Recommended on for
+    # real training hosts; off by default so tiny runs skip worker startup.
+    _C.DATALOADER.USE_PROCESSES = False
 
     # ---- Solver ----
     _C.SOLVER = CN()

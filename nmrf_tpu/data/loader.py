@@ -10,9 +10,35 @@ semantics (same seed => same permutation on every process).
 
 import queue
 import threading
-from typing import Iterator
+from typing import Iterator, Optional
 
 import numpy as np
+
+# ---- process-pool worker state (spawn context: workers import only the
+# data subpackage — numpy/PIL — never jax; the dataset object is pickled
+# once per worker at pool creation, not per sample) ----
+_WORKER_DATASET = None
+
+
+def _init_worker(dataset):
+    global _WORKER_DATASET
+    _WORKER_DATASET = dataset
+
+
+def _load_indexed(args):
+    """Load one sample, seeding the global numpy RNG per SAMPLE (not per
+    worker, as torch's DataLoader does): augmentation draws are then a pure
+    function of (loader seed, epoch, rank, step, slot) — fully reproducible
+    regardless of worker scheduling."""
+    idx, seed = args
+    if seed is not None:
+        np.random.seed(seed)
+    return _WORKER_DATASET[int(idx)]
+
+
+def _sample_seed(base_seed, epoch, rank, step, slot) -> int:
+    return int(np.random.SeedSequence(
+        (base_seed, epoch, rank, step, slot)).generate_state(1)[0])
 
 
 class ShardedBatchSampler:
@@ -69,31 +95,71 @@ class PrefetchLoader:
     Emits dicts of stacked numpy arrays [local_batch, ...]; the caller is
     responsible for jnp.asarray/device_put (kept host-side so the same loader
     drives sharded device_put under a mesh).
+
+    ``use_processes=True`` decodes/augments in a persistent spawn-context
+    process pool instead (the torch ``num_workers`` equivalent): PIL decode
+    and the numpy augmentors hold the GIL, so threads cap throughput at
+    ~1 core; processes scale with cores at the cost of pickling each sample
+    back.  Process mode also makes augmentation draws deterministic per
+    (seed, epoch, rank, step, slot) — see ``_load_indexed``.
     """
 
     def __init__(self, dataset, sampler: ShardedBatchSampler, num_workers=4,
-                 prefetch=2, start_epoch=0):
+                 prefetch=2, start_epoch=0, use_processes=False,
+                 seed: Optional[int] = 0):
         self.dataset = dataset
         self.sampler = sampler
         self.num_workers = max(1, num_workers)
         self.prefetch = prefetch
         self.epoch = start_epoch
+        self.use_processes = use_processes
+        self.seed = seed
+        self._pool = None
+
+    def _process_pool(self):
+        if self._pool is None:
+            import multiprocessing as mp
+            from concurrent.futures import ProcessPoolExecutor
+            self._pool = ProcessPoolExecutor(
+                self.num_workers, mp_context=mp.get_context("spawn"),
+                initializer=_init_worker, initargs=(self.dataset,))
+        return self._pool
+
+    def shutdown(self):
+        if self._pool is not None:
+            self._pool.shutdown(wait=False, cancel_futures=True)
+            self._pool = None
 
     def __iter__(self) -> Iterator[dict]:
-        indices = self.sampler.epoch_indices(self.epoch)
+        epoch = self.epoch
+        indices = self.sampler.epoch_indices(epoch)
         self.epoch += 1
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
         def producer():
             try:
-                from concurrent.futures import ThreadPoolExecutor
-                with ThreadPoolExecutor(self.num_workers) as pool:
-                    for batch_idx in indices:
+                if self.use_processes:
+                    pool = self._process_pool()
+                    rank = self.sampler.rank
+                    for step, batch_idx in enumerate(indices):
                         if stop.is_set():
                             return
-                        samples = list(pool.map(self.dataset.__getitem__, batch_idx))
+                        tasks = [
+                            (idx, None if self.seed is None else
+                             _sample_seed(self.seed, epoch, rank, step, j))
+                            for j, idx in enumerate(batch_idx)]
+                        samples = list(pool.map(_load_indexed, tasks))
                         q.put(_stack_batch(samples))
+                else:
+                    from concurrent.futures import ThreadPoolExecutor
+                    with ThreadPoolExecutor(self.num_workers) as pool:
+                        for batch_idx in indices:
+                            if stop.is_set():
+                                return
+                            samples = list(
+                                pool.map(self.dataset.__getitem__, batch_idx))
+                            q.put(_stack_batch(samples))
             except Exception as e:  # surface worker errors to the consumer
                 q.put(e)
             finally:

@@ -107,6 +107,20 @@ class TestSynthetic:
         np.testing.assert_array_equal(a["img1"], b["img1"])
 
 
+class _GlobalRngDataset:
+    """Module-level (spawn-picklable) dataset whose samples depend on the
+    global numpy RNG, like the real augmentors."""
+
+    def __len__(self):
+        return 4
+
+    def __getitem__(self, i):
+        return {"img1": np.random.rand(8, 8, 3).astype(np.float32),
+                "img2": np.zeros((8, 8, 3), np.float32),
+                "disp": np.zeros((8, 8), np.float32),
+                "valid": np.ones((8, 8), bool)}
+
+
 class TestPrefetchLoader:
     def test_batches_and_shapes(self):
         ds = SyntheticStereoDataset(size=10, height=32, width=64)
@@ -118,6 +132,44 @@ class TestPrefetchLoader:
         assert b["img1"].shape == (2, 32, 64, 3)  # local batch = 4/2
         assert b["disp"].shape == (2, 32, 64)
         assert b["valid"].dtype == bool
+
+    def test_process_mode_matches_thread_mode(self):
+        # synthetic samples are a pure function of the index, so decode in
+        # worker processes must yield byte-identical batches
+        ds = SyntheticStereoDataset(size=8, height=32, width=64)
+        sampler = ShardedBatchSampler(len(ds), 4, rank=0, world_size=1, seed=0)
+        thread = list(PrefetchLoader(ds, sampler, num_workers=2))
+        ploader = PrefetchLoader(ds, sampler, num_workers=2,
+                                 use_processes=True)
+        try:
+            proc = list(ploader)
+        finally:
+            ploader.shutdown()
+        assert len(thread) == len(proc) == 2
+        for bt, bp in zip(thread, proc):
+            for k in ("img1", "img2", "disp", "valid"):
+                np.testing.assert_array_equal(bt[k], bp[k])
+
+    def test_process_mode_deterministic_augmentation(self):
+        # global-np.random augmentation draws are reproducible per
+        # (seed, epoch, rank, step, slot) in process mode
+        ds = _GlobalRngDataset()
+        sampler = ShardedBatchSampler(len(ds), 2, rank=0, world_size=1, seed=0)
+
+        def run():
+            loader = PrefetchLoader(ds, sampler, num_workers=2,
+                                    use_processes=True, seed=123)
+            try:
+                return list(loader)
+            finally:
+                loader.shutdown()
+
+        a, b = run(), run()
+        assert len(a) == len(b) == 2
+        for ba, bb in zip(a, b):
+            np.testing.assert_array_equal(ba["img1"], bb["img1"])
+        # different slots got different draws
+        assert not np.array_equal(a[0]["img1"][0], a[0]["img1"][1])
 
     def test_worker_error_propagates(self):
         class Bad:

@@ -216,7 +216,9 @@ def main():
         rank=jax.process_index(), world_size=jax.process_count(),
         seed=max(cfg.SEED, 0))
     loader = PrefetchLoader(dataset, sampler,
-                            num_workers=cfg.DATALOADER.NUM_WORKERS)
+                            num_workers=cfg.DATALOADER.NUM_WORKERS,
+                            use_processes=cfg.DATALOADER.USE_PROCESSES,
+                            seed=max(cfg.SEED, 0))
 
     try:
         from torch.utils.tensorboard import SummaryWriter
