@@ -26,13 +26,18 @@ def _init_worker(dataset):
 
 
 def _load_indexed(args):
-    """Load one sample, seeding the global numpy RNG per SAMPLE (not per
-    worker, as torch's DataLoader does): augmentation draws are then a pure
-    function of (loader seed, epoch, rank, step, slot) — fully reproducible
-    regardless of worker scheduling."""
+    """Load one sample, seeding the global RNGs per SAMPLE (not per worker,
+    as torch's DataLoader does): augmentation draws are then a pure function
+    of (loader seed, epoch, rank, step, slot) — fully reproducible
+    regardless of worker scheduling.  Both generators the augmentors use are
+    seeded: numpy (spatial/eraser draws) and stdlib ``random``
+    (ColorJitter/AdjustGamma, transforms.py)."""
+    import random
+
     idx, seed = args
     if seed is not None:
         np.random.seed(seed)
+        random.seed(seed + 1)
     return _WORKER_DATASET[int(idx)]
 
 

@@ -88,7 +88,11 @@ class DropPath(nn.Module):
         if deterministic or (isinstance(rate, float) and rate == 0.0):
             return x
         keep = 1.0 - rate
-        rng = self.make_rng("dropout")
+        # Prefer a dedicated stream: under spatial sharding the "dropout"
+        # stream is folded per H-tile (parallel/mesh.py), which must NOT
+        # split a sample's stochastic-depth decision across tiles.
+        rng = (self.make_rng("drop_path") if self.has_rng("drop_path")
+               else self.make_rng("dropout"))
         shape = (x.shape[0],) + (1,) * (x.ndim - 1)
         mask = jax.random.bernoulli(rng, keep, shape)
         return jnp.where(mask, x / keep, 0.0)

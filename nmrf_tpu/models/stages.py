@@ -167,7 +167,7 @@ class Propagation(nn.Module):
         ScanStack = nn.scan(
             prop_body,
             variable_axes={"params": 0},
-            split_rngs={"params": True, "dropout": True},
+            split_rngs={"params": True, "dropout": True, "drop_path": True},
             in_axes=(0, nn.broadcast),
             out_axes=0,
             length=self.num_layers,
@@ -395,7 +395,7 @@ class _NMPStage(nn.Module):
         ScanStack = nn.scan(
             stage_body,
             variable_axes={"params": 0},
-            split_rngs={"params": True, "dropout": True},
+            split_rngs={"params": True, "dropout": True, "drop_path": True},
             in_axes=(0, nn.broadcast, nn.broadcast),
             out_axes=0,
             length=L,

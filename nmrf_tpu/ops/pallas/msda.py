@@ -184,9 +184,9 @@ def msda_taps_level(value_map, dx, dy, aw, num_heads, radius,
                 + hg * Wq * lane(MD) * esize)                   # output
     # Row tile: ~4 query rows, forced up to f (base-cell alignment needs
     # f | tile start).
-    TQ = f * max(1, -(-4 // f))
-    while Hq % TQ:
-        TQ += f
+    TQ = min(f * max(1, -(-4 // f)), Hq)
+    while Hq % TQ:  # terminates: TQ reaches Hq (f | Hq by construction)
+        TQ = min(TQ + f, Hq)
     # Column tile: the fori-loop temporaries scale with R = TQ*TW; keep
     # R ~<= 1k (empirically passing range).  Must be a multiple of f (the
     # vtile column window starts at multiples of TW in upsampled units).

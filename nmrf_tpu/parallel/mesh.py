@@ -66,13 +66,14 @@ def shard_batch(batch: dict, mesh: Mesh) -> dict:
 SPATIAL_AXIS = "spatial"
 
 
-def _decode_out_specs(model, train: bool):
+def _decode_out_specs(model, train: bool, batch_axis="data"):
     """PartitionSpecs of NMRF.decode(spatial_out=True) outputs: batch over
-    `data`, H over `spatial` (layer-stacked aux outputs carry a leading L)."""
+    `batch_axis` (None = replicated, for eval batches smaller than the data
+    axis), H over `spatial` (layer-stacked aux outputs carry a leading L)."""
     from jax.sharding import PartitionSpec as P
 
-    bh = P("data", SPATIAL_AXIS)
-    lbh = P(None, "data", SPATIAL_AXIS)
+    bh = P(batch_axis, SPATIAL_AXIS)
+    lbh = P(None, batch_axis, SPATIAL_AXIS)
     specs = {"disp": bh, "prob": bh, "proposal": bh, "initial_proposal": bh}
     if model.with_refinement:
         specs["disp_pred"] = bh
@@ -113,7 +114,17 @@ def spatial_sharded_apply(model, mesh: Mesh, params, img1, img2,
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
-    fspec = NamedSharding(mesh, P("data", SPATIAL_AXIS))
+    # shard_map needs the batch dim divisible by the data axis; eval runs
+    # B=1, so replicate the batch over `data` when it doesn't divide
+    # (redundant compute on the data axis, sharded compute on spatial).
+    ndata = mesh.shape.get("data", 1)
+    batch_axis = "data" if (ndata > 1 and img1.shape[0] % ndata == 0) else None
+    if ndata > 1 and batch_axis is None:
+        # a data-index rng fold would diverge the replicated batch
+        assert rng is None, (
+            "spatial-sharded training requires batch % data axis == 0")
+
+    fspec = NamedSharding(mesh, P(batch_axis, SPATIAL_AXIS))
     img1 = jax.lax.with_sharding_constraint(img1, fspec)
     img2 = jax.lax.with_sharding_constraint(img2, fspec)
     rngs = {"dropout": rng} if rng is not None else None
@@ -125,9 +136,15 @@ def spatial_sharded_apply(model, mesh: Mesh, params, img1, img2,
 
     def body(params, f1_list, f2_list, rng):
         if rng is not None:
-            rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
-            rng = jax.random.fold_in(rng, jax.lax.axis_index(SPATIAL_AXIS) + 1)
-            body_rngs = {"dropout": rng}
+            # Elementwise dropout draws fold in BOTH mesh coordinates
+            # (independent masks per tile == the unsharded distribution);
+            # DropPath's per-sample branch decision must be IDENTICAL on
+            # every spatial tile of a sample, so its stream folds the data
+            # index only (models/layers.py:DropPath prefers "drop_path").
+            per_sample = jax.random.fold_in(rng, jax.lax.axis_index("data"))
+            per_tile = jax.random.fold_in(
+                per_sample, jax.lax.axis_index(SPATIAL_AXIS) + 1)
+            body_rngs = {"dropout": per_tile, "drop_path": per_sample}
         else:
             body_rngs = None
         return model.apply(params, f1_list, f2_list, train, True,
@@ -135,9 +152,9 @@ def spatial_sharded_apply(model, mesh: Mesh, params, img1, img2,
 
     fn = shard_map(
         body, mesh=mesh,
-        in_specs=(P(), P("data", SPATIAL_AXIS), P("data", SPATIAL_AXIS),
-                  P()),
-        out_specs=_decode_out_specs(model, train),
+        in_specs=(P(), P(batch_axis, SPATIAL_AXIS),
+                  P(batch_axis, SPATIAL_AXIS), P()),
+        out_specs=_decode_out_specs(model, train, batch_axis),
         check_vma=False,
     )
     return _unspatial(fn(params, f1_list, f2_list, rng))

@@ -115,8 +115,10 @@ class _GlobalRngDataset:
         return 4
 
     def __getitem__(self, i):
+        import random
         return {"img1": np.random.rand(8, 8, 3).astype(np.float32),
-                "img2": np.zeros((8, 8, 3), np.float32),
+                # stdlib random too: ColorJitter/AdjustGamma draw from it
+                "img2": np.full((8, 8, 3), random.random(), np.float32),
                 "disp": np.zeros((8, 8), np.float32),
                 "valid": np.ones((8, 8), bool)}
 
@@ -168,6 +170,7 @@ class TestPrefetchLoader:
         assert len(a) == len(b) == 2
         for ba, bb in zip(a, b):
             np.testing.assert_array_equal(ba["img1"], bb["img1"])
+            np.testing.assert_array_equal(ba["img2"], bb["img2"])
         # different slots got different draws
         assert not np.array_equal(a[0]["img1"][0], a[0]["img1"][1])
 

@@ -101,6 +101,22 @@ class TestTapKernel:
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=2e-5, rtol=1e-5)
 
+    def test_tiny_query_grid_terminates(self):
+        # regression: the row-tile search looped forever when Hq was
+        # smaller than the initial ~4-row tile (e.g. Hq=2, f=1)
+        rng = np.random.default_rng(5)
+        Hq, Wq, M, P, D, r = 2, 8, 1, 2, 4, 2
+        hl, wl = 2, 8  # f = 1
+        value, locs, w = _make_case(rng, Hq, Wq, [(hl, wl)], M, D, P,
+                                    max_off=r)
+        dx, dy, aw = _tap_level_inputs(locs[:, :, :, 0], w[:, :, :, 0],
+                                       (hl, wl), (Hq, Wq))
+        vmap = value.reshape(value.shape[0], hl, wl, M * D)
+        want = _tap_level_reference(vmap, dx, dy, aw, M, r)
+        got = _tap_level_op(vmap, dx, dy, aw, M, r)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5, rtol=1e-5)
+
     def test_full_op_kernel_path(self):
         rng = np.random.default_rng(4)
         levels = [(8, 16), (4, 8)]

@@ -47,46 +47,6 @@ class TestMaskedAttention:
             (q, k, v), probes=5)
 
 
-def rpe_inputs(P=9, N=2, h=2, hd=8, nW=4, WB=2, seed=0):
-    rng = np.random.RandomState(seed)
-    G, T = nW // WB, P * N
-    R = WB * T
-    pack = lambda: jnp.asarray(rng.randn(h, G, R, hd).astype(np.float32))
-    q, k, v = pack(), pack(), pack()
-    qr = jnp.asarray(rng.randn(h, G, R, P).astype(np.float32) * 0.1)
-    kr = jnp.asarray(rng.randn(h, G, P, R).astype(np.float32) * 0.1)
-    ve = jnp.asarray(rng.randn(h, R, P, hd).astype(np.float32) * 0.1)
-    masks = np.where(rng.rand(nW, T, T) < 0.1, -1e9, 0.0).astype(np.float32)
-    gmask = jnp.asarray(fa.block_diagonal_mask(masks, WB))
-    sq, st, _ = fa.pixel_selectors(P, N, WB)
-    return q, k, v, qr, kr, ve, gmask, jnp.asarray(sq), jnp.asarray(st)
-
-
-class TestRpeWindowAttention:
-    def test_matches_reference(self):
-        args = rpe_inputs()
-        got = fa.rpe_window_attention(*args, 0.35, interpret=True)
-        want = fa.rpe_window_attention_reference(*args, 0.35)
-        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                                   atol=1e-5, rtol=1e-5)
-
-    def test_mask_packers_agree(self):
-        rng = np.random.RandomState(2)
-        masks = np.where(rng.rand(6, 10, 10) < 0.2, -1e9, 0.0).astype(
-            np.float32)
-        a = fa.block_diagonal_mask(masks, 3)
-        b = fa.block_diagonal_mask_jnp(jnp.asarray(masks), 3)
-        np.testing.assert_array_equal(a, np.asarray(b))
-
-    def test_grad_through_custom_vjp(self):
-        q, k, v, qr, kr, ve, gmask, sq, st = rpe_inputs(
-            P=4, N=1, h=1, hd=4, nW=2, WB=2, seed=3)
-        check_grads(
-            lambda q, k, v, qr: jnp.sum(fa.rpe_window_attention_op(
-                q, k, v, qr, kr, ve, gmask, sq, st, 0.5)),
-            (q, k, v, qr), probes=5)
-
-
 class TestModuleIntegration:
     @pytest.mark.parametrize("shift", [0, 3])
     def test_pallas_path_matches_xla_path(self, shift):

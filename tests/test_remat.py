@@ -62,6 +62,28 @@ def test_forward_bitwise_equal(setups):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_drop_path_uses_dedicated_stream():
+    """DropPath draws from the 'drop_path' stream when provided (so spatial
+    sharding can keep a sample's stochastic-depth decision identical across
+    H-tiles while folding 'dropout' per tile), else falls back to
+    'dropout'."""
+    from nmrf_tpu.models.layers import DropPath
+
+    m = DropPath(rate=0.5, deterministic=False)
+    x = jnp.ones((64, 4))
+    k = jax.random.PRNGKey
+    base = m.apply({}, x, rngs={"dropout": k(0), "drop_path": k(1)})
+    # changing the unused 'dropout' key must not change the draw
+    same = m.apply({}, x, rngs={"dropout": k(9), "drop_path": k(1)})
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(same))
+    # changing 'drop_path' must
+    diff = m.apply({}, x, rngs={"dropout": k(0), "drop_path": k(2)})
+    assert not np.array_equal(np.asarray(base), np.asarray(diff))
+    # fallback path still works without the dedicated stream
+    fb = m.apply({}, x, rngs={"dropout": k(3)})
+    assert fb.shape == x.shape
+
+
 def test_grads_match(setups):
     out, (img1, img2, disp) = setups
     valid = jnp.ones_like(disp, dtype=bool)

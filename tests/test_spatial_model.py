@@ -63,6 +63,17 @@ class TestSpatialForwardParity:
                                       np.asarray(got["initial_proposal"]))
         _assert_tree_close(ref, got, 1e-4, keys=["proposal"])
 
+    def test_batch1_eval_replicates_over_data_axis(self, setup):
+        # eval always runs B=1; with a data axis > 1 the batch can't shard,
+        # so spatial_sharded_apply must replicate it over `data` (regression:
+        # this raised at trace time in shard_map)
+        _, model, model_sp, _, params, mesh, img1, img2 = setup
+        ref = jax.jit(lambda p, a, b: model.apply(p, a, b, train=False))(
+            params, img1[:1], img2[:1])
+        got = jax.jit(lambda p, a, b: spatial_sharded_apply(
+            model_sp, mesh, p, a, b, train=False))(params, img1[:1], img2[:1])
+        _assert_tree_close(ref, got, 1e-4, keys=["disp", "prob", "disp_pred"])
+
     def test_train_outputs_losses_and_grads_match(self, setup):
         _, model, model_sp, criterion, params, mesh, img1, img2 = setup
         rng = np.random.RandomState(1)

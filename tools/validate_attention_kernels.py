@@ -2,10 +2,9 @@
 
 Checks, on CPU (Pallas interpreter):
   1. masked_attention == masked_attention_reference
-  2. rpe_window_attention == rpe_window_attention_reference
-  3. rpe_window_attention_reference == the module einsum formulation in
-     models/nmp.py (pixel-granular qr/kr/ve terms), including WB>1
-     block-diagonal packing + shifted-window masks.
+  2. window_attention_native (kernel + jnp reference) == the
+     models/nmp.py WindowAttention module (XLA path), including shifted
+     windows, candidate masks, and WB>1 window packing.
 """
 import os
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
@@ -19,9 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from nmrf_tpu.ops.pallas.attention import (
-    masked_attention, masked_attention_reference,
-    rpe_window_attention, rpe_window_attention_reference,
-    pixel_selectors, block_diagonal_mask)
+    masked_attention, masked_attention_reference)
 
 rng = np.random.default_rng(0)
 
@@ -50,81 +47,7 @@ out_p = masked_attention(q, k, v, mask1, 0.17, interpret=True)
 out_r = masked_attention_reference(q, k, v, mask1, 0.17)
 ok &= chk("masked_attention (Gm=1)", out_p, out_r)
 
-# ---- 2+3. rpe_window_attention vs reference vs module math ----
-def module_math(q5, k5, v5, q_embed, k_embed, v_embed, mask_tt, scale):
-    """The einsum formulation from models/nmp.py WindowAttention (per window).
-    q5,k5,v5: [Bw, h, P, N, hd]; tables [P, P, h, hd]; mask_tt [Bw, T, T]."""
-    Bw, h, P, N, hd = q5.shape
-    T = P * N
-    f32 = dict(preferred_element_type=jnp.float32)
-    q_ = q5 * scale
-    attn = jnp.einsum("bhpnc,bhsmc->bhpnsm", q_, k5, **f32)
-    qr = jnp.einsum("bhpnc,pshc->bhpns", q_ / scale, k_embed, **f32)
-    kr = jnp.einsum("bhsmc,pshc->bhpsm", k5, q_embed * scale, **f32)
-    attn = attn + qr[:, :, :, :, :, None] + kr[:, :, :, None, :, :]
-    attn = attn.reshape(Bw, h, T, T) + mask_tt[:, None]
-    attn = jax.nn.softmax(attn, axis=-1)
-    out = jnp.einsum("bhij,bhjc->bhic", attn, v5.reshape(Bw, h, T, hd), **f32)
-    # value-table term: attn over key tokens grouped by key pixel s
-    attn6 = attn.reshape(Bw, h, P, N, P, N)
-    attn_s = attn6.sum(axis=-1)  # [Bw, h, P, N, Ps]
-    vterm = jnp.einsum("bhpns,pshc->bhpnc", attn_s, v_embed, **f32)
-    return out.reshape(Bw, h, P, N, hd) + vterm
-
-
-P, N, hh, hd = 36, 4, 4, 32
-WB = 2
-nW = 6          # windows; groups G = nW // WB = 3
-Bw = nW
-T = P * N
-scale = hd ** -0.5
-q5 = jnp.asarray(rng.standard_normal((Bw, hh, P, N, hd)), jnp.float32)
-k5 = jnp.asarray(rng.standard_normal((Bw, hh, P, N, hd)), jnp.float32)
-v5 = jnp.asarray(rng.standard_normal((Bw, hh, P, N, hd)), jnp.float32)
-q_embed = jnp.asarray(rng.standard_normal((P, P, hh, hd)), jnp.float32) * 0.1
-k_embed = jnp.asarray(rng.standard_normal((P, P, hh, hd)), jnp.float32) * 0.1
-v_embed = jnp.asarray(rng.standard_normal((P, P, hh, hd)), jnp.float32) * 0.1
-# per-window shifted-style masks [nW, T, T]
-mask_tt = np.where(rng.random((nW, T, T)) < 0.1, -1e9, 0.0).astype(np.float32)
-
-want = module_math(q5, k5, v5, q_embed, k_embed, v_embed,
-                   jnp.asarray(mask_tt), scale)
-
-# pack into kernel layout
-G = nW // WB
-R = WB * T
-sel_q, sel_sT, _ = pixel_selectors(P, N, WB)
-gmask = jnp.asarray(block_diagonal_mask(mask_tt, WB))  # [G, R, R]
-
-def pack(x5):  # [Bw, h, P, N, hd] -> [h, G, R, hd]
-    return x5.reshape(G, WB, hh, T, hd).transpose(2, 0, 1, 3, 4).reshape(hh, G, R, hd)
-
-qp, kp, vp = pack(q5), pack(k5), pack(v5)
-# qr: [h, G, R, P] = q_i . k_embed[pixel(i), s]
-qr5 = jnp.einsum("bhpnc,pshc->bhpns", q5, k_embed)
-qr = qr5.reshape(G, WB, hh, T, P).transpose(2, 0, 1, 3, 4).reshape(hh, G, R, P)
-# kr: [h, G, P, R] = k_j . q_embed[p, pixel(j)] * scale
-kr5 = jnp.einsum("bhsmc,pshc->bhpsm", k5, q_embed * scale)  # [Bw, h, P, s, m]
-kr = kr5.reshape(G, WB, hh, P, T).transpose(2, 0, 1, 3, 4)
-kr = kr.reshape(hh, G, WB, P, T)
-# interleave: kr over key tokens j = (window a, s, m); layout [h, G, P_q, R_j]
-kr = kr.transpose(0, 1, 3, 2, 4).reshape(hh, G, P, R)
-# ve_tok: [h, R, P, hd] = v_embed[pixel(i), s, :]
-pix = np.tile(np.repeat(np.arange(P), N), WB)  # [R]
-ve_tok = v_embed.transpose(2, 0, 1, 3)[:, pix]  # [h, R, P, hd]
-
-out_ref = rpe_window_attention_reference(qp, kp, vp, qr, kr, ve_tok, gmask,
-                                         jnp.asarray(sel_q),
-                                         jnp.asarray(sel_sT), scale)
-want_p = pack(want)
-ok &= chk("rpe reference vs module math (WB=2)", out_ref, want_p, tol=5e-4)
-
-out_pal = rpe_window_attention(qp, kp, vp, qr, kr, ve_tok, gmask,
-                               jnp.asarray(sel_q), jnp.asarray(sel_sT), scale,
-                               interpret=True)
-ok &= chk("rpe pallas vs reference (WB=2)", out_pal, out_ref, tol=5e-4)
-
-# ---- 4. window-native kernel vs the WindowAttention module (XLA path) ----
+# ---- 2. window-native kernel vs the WindowAttention module (XLA path) ----
 from nmrf_tpu.models.nmp import WindowAttention, shift_window_attn_mask, \
     window_attn_mask
 from nmrf_tpu.ops.pallas.attention import (

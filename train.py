@@ -236,15 +236,18 @@ def main():
     log_freq = 20  # reference logs every 20 iters (main.py:412)
     while total_steps < cfg.SOLVER.MAX_ITER:
         header = f"Epoch: [{epoch}]"
-        for batch in metric_logger.log_every(loader, log_freq, header, logger=logger):
+        for i, batch in enumerate(
+                metric_logger.log_every(loader, log_freq, header, logger=logger)):
             device_batch = shard_batch(batch, mesh)
             params, opt_state, losses = train_step(params, opt_state, device_batch, total_steps)
 
             total_steps += 1
             # Loss scalars stay on device between log points — a host
             # readback every step would serialize the async dispatch queue
-            # and stall the TPU on the host round-trip.
-            if total_steps % log_freq == 0 or total_steps == cfg.SOLVER.MAX_ITER:
+            # and stall the TPU on the host round-trip.  Keyed on the LOADER
+            # iteration: log_every prints right after the body at
+            # i % log_freq == 0, so the printed meters are always current.
+            if i % log_freq == 0 or total_steps == cfg.SOLVER.MAX_ITER:
                 host_losses = {k: float(v) for k, v in losses.items()}
                 metric_logger.update(lr=float(np.asarray(schedule(total_steps - 1))))
                 metric_logger.update(**host_losses)
