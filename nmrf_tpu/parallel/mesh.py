@@ -212,6 +212,24 @@ def make_train_step(model, criterion, tx, seed: int = 0, mesh: Mesh = None):
     return step
 
 
+def device_prefetch(iterable, mesh: Mesh, size: int = 2):
+    """Double-buffer host->device transfers against the step.
+
+    Yields ``shard_batch``-ed batches while eagerly transferring ``size``
+    batches ahead: ``jax.device_put`` is async, so the H2D copy of batch
+    N+1 overlaps the device compute of batch N instead of serializing
+    after it (VERDICT r1 item 5)."""
+    from collections import deque
+
+    buf = deque()
+    for batch in iterable:
+        buf.append(shard_batch(batch, mesh))
+        if len(buf) >= size:
+            yield buf.popleft()
+    while buf:
+        yield buf.popleft()
+
+
 def make_eval_step(model):
     @jax.jit
     def step(params, img1, img2):

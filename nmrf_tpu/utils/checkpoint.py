@@ -391,6 +391,28 @@ def save_checkpoint(ckpt_dir: str, step: int, state, keep_latest: bool = True):
     return path
 
 
+def prune_stale_latest(ckpt_dir: str, keep_step: int, periodic_every: int):
+    """Delete ``step_*`` checkpoints that were only ever "latest" saves.
+
+    The reference overwrites one ``checkpoint_latest.pth`` every
+    ``LATEST_CHECKPOINT_PERIOD`` (main.py:449) and keeps full snapshots only
+    every ``CHECKPOINT_PERIOD``; orbax paths are per-step directories, so we
+    match that retention by removing step dirs that are neither the newest
+    save nor a CHECKPOINT_PERIOD multiple (a 300k-step run would otherwise
+    keep ~300 full train states)."""
+    import re
+    import shutil
+
+    for name in os.listdir(ckpt_dir) if os.path.isdir(ckpt_dir) else []:
+        m = re.fullmatch(r"step_(\d{8})", name)
+        if not m:
+            continue
+        step = int(m.group(1))
+        if step != keep_step and (periodic_every <= 0
+                                  or step % periodic_every != 0):
+            shutil.rmtree(os.path.join(ckpt_dir, name), ignore_errors=True)
+
+
 def restore_checkpoint(ckpt_dir: str, abstract_state=None, step: int = None):
     """Restore a train state saved by ``save_checkpoint``.
 

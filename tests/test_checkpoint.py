@@ -193,6 +193,30 @@ class TestOrbaxRoundTrip:
                                       opt_state["mu"])
 
 
+class TestPruneStaleLatest:
+    def test_reference_retention_semantics(self, tmp_path):
+        """Rolling-latest saves are pruned; CHECKPOINT_PERIOD snapshots and
+        the newest save are kept (reference overwrites checkpoint_latest.pth,
+        main.py:449)."""
+        import os
+        from nmrf_tpu.utils.checkpoint import prune_stale_latest
+
+        for step in (2, 4, 100, 200, 204):
+            d = tmp_path / f"step_{step:08d}"
+            d.mkdir()
+            (d / "blob").write_text("x")
+        (tmp_path / "latest.txt").write_text("204")
+        (tmp_path / "not_a_step").mkdir()
+
+        prune_stale_latest(str(tmp_path), keep_step=204, periodic_every=100)
+        kept = sorted(p.name for p in tmp_path.iterdir())
+        assert kept == ["latest.txt", "not_a_step", "step_00000100",
+                        "step_00000200", "step_00000204"]
+        # idempotent + missing dir is a no-op
+        prune_stale_latest(str(tmp_path), keep_step=204, periodic_every=100)
+        prune_stale_latest(str(tmp_path / "nope"), 1, 1)
+
+
 class TestSwinConverter:
     def test_swin_tiny_keys_land_on_model_paths(self):
         """Synthetic swin_tiny_patch4_window7_224-style state dict converts

@@ -91,6 +91,22 @@ class TestSamplers:
         assert sorted(all_idx) == list(range(n))
 
 
+class TestDevicePrefetch:
+    def test_order_sharding_and_meta_drop(self):
+        import jax
+        from nmrf_tpu.parallel import device_prefetch, make_mesh
+
+        mesh = make_mesh(2, 1, devices=np.array(jax.devices()[:2]))
+        batches = [{"img1": np.full((2, 4, 4, 3), i, np.float32),
+                    "meta": [{"i": i}]} for i in range(5)]
+        out = list(device_prefetch(iter(batches), mesh, size=2))
+        assert len(out) == 5
+        for i, b in enumerate(out):
+            assert "meta" not in b  # shard_batch drops host-only fields
+            assert float(np.asarray(b["img1"]).ravel()[0]) == i  # order kept
+            assert b["img1"].sharding.spec == ("data",)
+
+
 @pytest.mark.slow
 class TestMultichipDryrun:
     def test_dryrun_8_devices(self):

@@ -142,11 +142,12 @@ def main():
 
     from nmrf_tpu.data import PrefetchLoader, ShardedBatchSampler, build_train_dataset
     from nmrf_tpu.models import build_model
-    from nmrf_tpu.parallel import (make_eval_step, make_mesh, make_train_step,
-                                   shard_batch)
+    from nmrf_tpu.parallel import (device_prefetch, make_eval_step, make_mesh,
+                                   make_train_step)
     from nmrf_tpu.solver import build_optimizer
     from nmrf_tpu.utils import MetricLogger, SmoothedValue
     from nmrf_tpu.utils.checkpoint import (load_torch_checkpoint,
+                                           prune_stale_latest,
                                            restore_checkpoint, save_checkpoint)
 
     model, criterion = build_model(cfg)
@@ -236,9 +237,10 @@ def main():
     log_freq = 20  # reference logs every 20 iters (main.py:412)
     while total_steps < cfg.SOLVER.MAX_ITER:
         header = f"Epoch: [{epoch}]"
-        for i, batch in enumerate(
-                metric_logger.log_every(loader, log_freq, header, logger=logger)):
-            device_batch = shard_batch(batch, mesh)
+        for i, device_batch in enumerate(
+                metric_logger.log_every(
+                    device_prefetch(loader, mesh), log_freq, header,
+                    logger=logger, total=len(loader))):
             params, opt_state, losses = train_step(params, opt_state, device_batch, total_steps)
 
             total_steps += 1
@@ -261,6 +263,10 @@ def main():
                     save_checkpoint(args.checkpoint_dir, total_steps,
                                     {"params": params, "opt_state": opt_state,
                                      "step": total_steps})
+                    # reference retention: ONE rolling latest + periodic
+                    # snapshots (main.py:449 overwrites checkpoint_latest.pth)
+                    prune_stale_latest(args.checkpoint_dir, total_steps,
+                                       cfg.SOLVER.CHECKPOINT_PERIOD)
             if cfg.TEST.EVAL_PERIOD > 0 and total_steps % cfg.TEST.EVAL_PERIOD == 0:
                 logger.info("Start validation")
                 evaluate(eval_step, params, cfg, logger)
