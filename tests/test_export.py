@@ -55,6 +55,55 @@ def test_hotswap_convention(setup):
     _assert_trees_equal(rt.call(params, img1, img2), want)
 
 
+def test_http_serving_roundtrip(setup, tmp_path):
+    """tools/serve_http.py: POST an npz pair, get the unpadded disparity,
+    matching the live model through pad/unpad."""
+    import io
+    import sys
+    import threading
+    import urllib.request
+    from http.server import HTTPServer
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent.parent
+                           / "tools"))
+    import serve_http
+
+    model, params, (img1, img2), want = setup
+    exp = export_eval(model, params, img1.shape, platforms=("cpu",))
+    path = str(tmp_path / "m.nmrfx")
+    save_exported(exp, path)
+    rt = load_exported(path)
+
+    srv = HTTPServer(("127.0.0.1", 0),
+                     serve_http.make_handler(rt, {"magic": "test"}))
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_port}"
+        with urllib.request.urlopen(base + "/healthz") as r:
+            assert b"magic" in r.read()
+        # a smaller-than-exported pair exercises the pad/unpad path
+        H, W = 30, 60
+        a = np.asarray(img1)[0, :H, :W]
+        b = np.asarray(img2)[0, :H, :W]
+        buf = io.BytesIO()
+        np.savez(buf, img1=a, img2=b)
+        req = urllib.request.Request(base + "/disparity", data=buf.getvalue(),
+                                     method="POST")
+        with urllib.request.urlopen(req) as r:
+            disp = np.load(io.BytesIO(r.read()))
+        assert disp.shape == (H, W) and np.isfinite(disp).all()
+        # parity with the live model on the same padded input
+        p1 = np.pad(a, ((0, 2), (0, 4), (0, 0)), mode="edge")[None]
+        p2 = np.pad(b, ((0, 2), (0, 4), (0, 0)), mode="edge")[None]
+        want2 = jax.jit(lambda x, y: model.apply(params, x, y, train=False))(
+            jnp.asarray(p1), jnp.asarray(p2))
+        np.testing.assert_allclose(disp, np.asarray(want2["disp"])[0, :H, :W],
+                                   atol=1e-5)
+    finally:
+        srv.shutdown()
+
+
 def test_wrong_shape_rejected(setup):
     model, params, (img1, img2), _ = setup
     exp = export_eval(model, params, img1.shape, platforms=("cpu",))

@@ -1,0 +1,106 @@
+#!/usr/bin/env python
+"""Minimal disparity-serving HTTP server over an AOT-exported artifact.
+
+Loads a ``tools/export_serving.py`` artifact (hermetic StableHLO, weights
+baked in — no model code or config needed) and serves:
+
+  POST /disparity   body: .npz with ``img1``, ``img2`` ([H, W, 3] RGB f32,
+                    0-255).  Inputs are padded to the artifact's exported
+                    shape (InputPadder 'proposal' semantics) and the
+                    disparity is unpadded back.  Response: .npy [H, W] f32.
+  GET  /healthz     200 + artifact metadata JSON.
+
+Usage:
+    python tools/serve_http.py --artifact serving/kitti.nmrfx [--port 8000]
+
+Single-threaded by design: one TPU executable, one request at a time;
+front with a load balancer and one process per chip for production.
+"""
+
+import argparse
+import io
+import json
+import os
+import sys
+from http.server import BaseHTTPRequestHandler, HTTPServer
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def make_handler(exported, meta):
+    import jax.numpy as jnp
+
+    _, eh, ew, _ = [int(d) for d in exported.in_avals[0].shape]
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet
+            pass
+
+        def _send(self, code, body, ctype="application/octet-stream"):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._send(200, json.dumps(meta).encode(), "application/json")
+            else:
+                self._send(404, b"not found", "text/plain")
+
+        def do_POST(self):
+            if self.path != "/disparity":
+                return self._send(404, b"not found", "text/plain")
+            try:
+                n = int(self.headers.get("Content-Length", "0"))
+                data = np.load(io.BytesIO(self.rfile.read(n)))
+                img1 = np.asarray(data["img1"], np.float32)
+                img2 = np.asarray(data["img2"], np.float32)
+                H, W, _ = img1.shape
+                ph, pw = eh - H, ew - W
+                if ph < 0 or pw < 0:
+                    raise ValueError(
+                        f"input {H}x{W} exceeds exported {eh}x{ew}")
+                # InputPadder 'proposal' mode: bottom/right edge-replication
+                pad = ((0, ph), (0, pw), (0, 0))
+                p1 = np.pad(img1, pad, mode="edge")[None]
+                p2 = np.pad(img2, pad, mode="edge")[None]
+                out = exported.call(jnp.asarray(p1), jnp.asarray(p2))
+                disp = np.asarray(out["disp"])[0, :H, :W]
+                buf = io.BytesIO()
+                np.save(buf, disp)
+                self._send(200, buf.getvalue())
+            except Exception as e:  # surface errors to the client
+                self._send(400, str(e).encode(), "text/plain")
+
+    return Handler
+
+
+def main():
+    ap = argparse.ArgumentParser("NMRF-TPU serving")
+    ap.add_argument("--artifact", required=True)
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8000)
+    args = ap.parse_args()
+
+    from nmrf_tpu.utils.runtime import configure_jax
+    configure_jax()
+    from nmrf_tpu.utils.export import load_exported
+
+    exported = load_exported(args.artifact)
+    meta = {}
+    sidecar = args.artifact + ".json"
+    if os.path.exists(sidecar):
+        with open(sidecar) as f:
+            meta = json.load(f)
+    srv = HTTPServer((args.host, args.port), make_handler(exported, meta))
+    print(f"serving {args.artifact} on {args.host}:{srv.server_port}",
+          flush=True)
+    srv.serve_forever()
+
+
+if __name__ == "__main__":
+    main()
