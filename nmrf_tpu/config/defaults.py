@@ -81,6 +81,10 @@ def get_cfg() -> CN:
     _C.SOLVER.LATEST_CHECKPOINT_PERIOD = 1000
     _C.SOLVER.IMS_PER_BATCH = 8
     _C.SOLVER.GRAD_CLIP = 1.0
+    # Accumulate gradients over this many microbatches per optimizer update
+    # (optax.MultiSteps; 1 = reference behavior).  Effective batch =
+    # IMS_PER_BATCH * ACCUM_STEPS; the LR schedule advances per update.
+    _C.SOLVER.ACCUM_STEPS = 1
     _C.SOLVER.LOSS_WEIGHTS = [1.0, 1.0, 1.0, 1.4, 1.4, 1.4, 1.4, 1.6, 2.0, 2.0]
     _C.SOLVER.RESUME = None
     _C.SOLVER.STRICT_RESUME = True

@@ -103,4 +103,12 @@ def build_optimizer(params, cfg):
         optax.multi_transform(
             {k: make_group(*v) for k, v in group_spec.items()}, labels),
     )
+    accum = getattr(cfg.SOLVER, "ACCUM_STEPS", 1)
+    if accum > 1:
+        # Gradient accumulation (beyond the reference): average grads over
+        # ACCUM_STEPS microbatches, then apply the full chain (clip + AdamW
+        # + schedule) once — exactly one big-batch update.  The schedule
+        # advances per UPDATE, so MAX_ITER stays in loader steps while the
+        # LR trajectory stretches by ACCUM_STEPS.
+        tx = optax.MultiSteps(tx, every_k_schedule=accum)
     return tx, schedule

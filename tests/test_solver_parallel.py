@@ -91,6 +91,49 @@ class TestSamplers:
         assert sorted(all_idx) == list(range(n))
 
 
+class TestGradAccumulation:
+    def test_k_microbatches_equal_one_mean_update(self):
+        """SOLVER.ACCUM_STEPS=k: k micro-updates == one update with the
+        mean gradient (clip + AdamW + schedule applied once)."""
+        import jax
+        import jax.numpy as jnp
+        from nmrf_tpu.config import get_cfg
+        from nmrf_tpu.solver import build_optimizer
+
+        params = {"backbone": {"conv": {"kernel": jnp.ones((3, 3)) * 0.3}},
+                  "head": {"bias": jnp.zeros((3,))}}
+        rng = np.random.RandomState(0)
+        k = 3
+        grads = [jax.tree_util.tree_map(
+            lambda x, i=i: jnp.asarray(
+                rng.rand(*x.shape).astype(np.float32) - 0.4), params)
+            for i in range(k)]
+        mean_grad = jax.tree_util.tree_map(
+            lambda *g: sum(g) / k, *grads)
+
+        cfg = get_cfg()
+        cfg.SOLVER.ACCUM_STEPS = k
+        cfg.freeze()
+        tx, _ = build_optimizer(params, cfg)
+        state = tx.init(params)
+        p = params
+        for g in grads:
+            upd, state = tx.update(g, state, p)
+            p = jax.tree_util.tree_map(lambda a, u: a + u, p, upd)
+
+        cfg2 = get_cfg()
+        cfg2.freeze()
+        tx2, _ = build_optimizer(params, cfg2)
+        state2 = tx2.init(params)
+        upd2, _ = tx2.update(mean_grad, state2, params)
+        want = jax.tree_util.tree_map(lambda a, u: a + u, params, upd2)
+
+        for a, b in zip(jax.tree_util.tree_leaves(p),
+                        jax.tree_util.tree_leaves(want)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-7)
+
+
 class TestDevicePrefetch:
     def test_order_sharding_and_meta_drop(self):
         import jax

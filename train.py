@@ -251,7 +251,8 @@ def main():
             # i % log_freq == 0, so the printed meters are always current.
             if i % log_freq == 0 or total_steps == cfg.SOLVER.MAX_ITER:
                 host_losses = {k: float(v) for k, v in losses.items()}
-                metric_logger.update(lr=float(np.asarray(schedule(total_steps - 1))))
+                metric_logger.update(lr=float(np.asarray(schedule(
+                    (total_steps - 1) // cfg.SOLVER.ACCUM_STEPS))))
                 metric_logger.update(**host_losses)
                 if writer is not None:
                     for k, v in host_losses.items():
