@@ -17,6 +17,8 @@ import random
 import numpy as np
 from PIL import Image, ImageEnhance
 
+from .. import native
+
 try:
     import cv2
 
@@ -51,20 +53,31 @@ class ColorJitter:
         self.saturation = tuple(saturation)
         self.hue = (-hue, hue)
 
-    def __call__(self, img: Image.Image) -> Image.Image:
-        ops = []
+    def sample_params(self):
+        """Draw (order, b, c, s, h) consuming the stdlib-random stream
+        exactly as ``__call__`` historically did (op codes: 0 brightness,
+        1 contrast, 2 saturation, 3 hue) — so the native and PIL paths stay
+        interchangeable under the loader's per-sample deterministic seeds."""
         b = random.uniform(*self.brightness)
         c = random.uniform(*self.contrast)
         s = random.uniform(*self.saturation)
         h = random.uniform(*self.hue)
-        ops.append(lambda im: ImageEnhance.Brightness(im).enhance(b))
-        ops.append(lambda im: ImageEnhance.Contrast(im).enhance(c))
-        ops.append(lambda im: ImageEnhance.Color(im).enhance(s))
-        ops.append(lambda im: _adjust_hue(im, h))
-        random.shuffle(ops)
-        for op in ops:
-            img = op(img)
+        order = [0, 1, 2, 3]
+        random.shuffle(order)
+        return order, b, c, s, h
+
+    def apply(self, img: Image.Image, order, b, c, s, h) -> Image.Image:
+        ops = {0: lambda im: ImageEnhance.Brightness(im).enhance(b),
+               1: lambda im: ImageEnhance.Contrast(im).enhance(c),
+               2: lambda im: ImageEnhance.Color(im).enhance(s),
+               3: lambda im: _adjust_hue(im, h)}
+        for code in order:
+            img = ops[code](img)
         return img
+
+    def __call__(self, img: Image.Image) -> Image.Image:
+        order, b, c, s, h = self.sample_params()
+        return self.apply(img, order, b, c, s, h)
 
 
 class AdjustGamma:
@@ -74,10 +87,55 @@ class AdjustGamma:
         self.gamma_min, self.gamma_max = gamma_min, gamma_max
         self.gain_min, self.gain_max = gain_min, gain_max
 
-    def __call__(self, img: Image.Image) -> Image.Image:
+    def sample_params(self):
         gain = random.uniform(self.gain_min, self.gain_max)
         gamma = random.uniform(self.gamma_min, self.gamma_max)
+        return gain, gamma
+
+    def __call__(self, img: Image.Image) -> Image.Image:
+        gain, gamma = self.sample_params()
         return _adjust_gamma(img, gamma, gain)
+
+
+def _gamma_lut(gamma: float, gain: float) -> np.ndarray:
+    """256-entry uint8 LUT computed with the exact numpy expression of
+    ``_adjust_gamma`` (float32 divide/pow, clip, truncating astype) so the
+    native path is bit-identical to the PIL path for the gamma stage."""
+    arr = np.arange(256, dtype=np.float32) / 255.0
+    arr = 255.0 * gain * np.power(arr, gamma)
+    return np.clip(arr, 0, 255).astype(np.uint8)
+
+
+def fused_photometric(arr: np.ndarray, photo_aug: "ColorJitter",
+                      gamma_aug: "AdjustGamma") -> np.ndarray:
+    """ColorJitter + AdjustGamma over a uint8 RGB array in ONE pass chain.
+
+    Dispatches to the C++ kernel (nmrf_tpu/native/photometric.cpp) when the
+    toolchain is available, else the historical PIL path; both consume the
+    stdlib-random stream identically (``sample_params``).  Native vs PIL:
+    brightness/contrast/saturation/gamma bit-exact, hue within PIL's own
+    float-ordering jitter (see the .cpp header and
+    tests/test_native_photometric.py)."""
+    order, b, c, s, h = photo_aug.sample_params()
+    gain, gamma = gamma_aug.sample_params()
+    lib = native.load()
+    if lib is None:
+        img = photo_aug.apply(Image.fromarray(arr), order, b, c, s, h)
+        return np.array(_adjust_gamma(img, gamma, gain), dtype=np.uint8)
+    out = np.ascontiguousarray(arr, dtype=np.uint8).copy()
+    # PIL's _adjust_hue is an exact no-op below 1e-8 (no HSV round trip);
+    # above it the round trip applies even when the integer shift is 0.
+    codes = np.asarray([o for o in order if o != 3 or abs(h) >= 1e-8],
+                       dtype=np.int32)
+    lut = _gamma_lut(gamma, gain)
+    import ctypes
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.nmrf_photometric(
+        out.ctypes.data_as(u8p), out.size // 3,
+        codes.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(codes),
+        b, c, s, int(round(h * 255)),
+        lut.ctypes.data_as(u8p), 1)
+    return out
 
 
 def _resize(img, fx, fy):
@@ -114,8 +172,7 @@ class FlowAugmentor:
         self.eraser_aug_prob = 0.5
 
     def _photo(self, arr):
-        img = Image.fromarray(arr)
-        return np.array(self.gamma_aug(self.photo_aug(img)), dtype=np.uint8)
+        return fused_photometric(arr, self.photo_aug, self.gamma_aug)
 
     def color_transform(self, img1, img2):
         if np.random.rand() < self.asymmetric_color_aug_prob:
@@ -213,8 +270,7 @@ class SparseFlowAugmentor:
         self.eraser_aug_prob = 0.5
 
     def _photo(self, arr):
-        img = Image.fromarray(arr)
-        return np.array(self.gamma_aug(self.photo_aug(img)), dtype=np.uint8)
+        return fused_photometric(arr, self.photo_aug, self.gamma_aug)
 
     def color_transform(self, img1, img2):
         stack = np.concatenate([img1, img2], axis=0)
