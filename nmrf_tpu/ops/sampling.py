@@ -11,6 +11,7 @@ Behavioral parity targets:
 All arrays are channel-last (TPU-native NHWC).
 """
 
+import jax
 import jax.numpy as jnp
 
 
@@ -132,9 +133,16 @@ def sample_cost(cost_volume, label_seed, radius=4):
     M, G, D = cost_volume.shape
     N = label_seed.shape[1]
     taps = 2 * radius + 1
-    offs = jnp.arange(-radius, radius + 1, dtype=label_seed.dtype)
-    idx = jnp.clip(label_seed[..., None] + offs, 0, D - 1)  # [M,N,taps]
-    gathered = jnp.take_along_axis(
-        cost_volume[:, :, None, :], idx[:, None, :, :], axis=-1
-    )  # [M,G,N,taps]
-    return jnp.transpose(gathered, (0, 2, 1, 3)).reshape(M, N, G * taps)
+    # TPU formulation: lane-axis take_along_axis is pathologically slow (the
+    # profiled gather cost 1.9 ms/frame at KITTI resolution).  Seeds are
+    # in-range topk indices, so clip(seed + off, 0, D-1) equals an
+    # edge-replicated read at (seed + off): edge-pad the D band once, slice
+    # the taps statically (free views), and select the seed with a one-hot
+    # multiply-sum that fuses into the reduction — no gather at all.
+    pad = jnp.pad(cost_volume, ((0, 0), (0, 0), (radius, radius)),
+                  mode="edge")  # [M, G, D + 2*radius]
+    # win[m, g, t, d] = pad[m, g, d + t] == cost at seed_index d, tap t
+    win = jnp.stack([pad[:, :, t:t + D] for t in range(taps)], axis=2)
+    onehot = jax.nn.one_hot(label_seed, D, dtype=cost_volume.dtype)  # [M,N,D]
+    out = jnp.einsum("mnd,mgtd->mngt", onehot, win)
+    return out.reshape(M, N, G * taps)
