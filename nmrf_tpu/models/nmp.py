@@ -111,15 +111,42 @@ class BasicAttention(nn.Module):
         k = Dense(self.dim, dtype=self.dtype, name="k")(qk_in)
         v = Dense(self.dim, dtype=self.dtype, name="v")(x)
 
-        def heads(t):
-            return t.reshape(*t.shape[:-1], h, hd)
+        M, N = x.shape[0], x.shape[1]
+        if N <= 4:
+            # TPU small-N path: with N candidates per pixel the head-split
+            # einsums become [N, N] x [N, hd] batched matmuls over M — the
+            # MXU pads N -> 8 and hd -> 128 lanes, and the [M, h, i, j]
+            # intermediates run every elementwise op at 2/128 lane
+            # utilization (profiled ~2.5 ms/frame at KITTI resolution).
+            # Unroll the N^2 token pairs instead and keep the full C=h*hd
+            # channel axis minor: each dot product is one fused full-lane
+            # pass (multiply + per-head segment-sum), and the weighted sum
+            # broadcasts the [M, h] weights back across hd lanes.
+            f32 = jnp.float32
+            logits = jnp.stack([
+                jnp.stack([
+                    (q[:, i].astype(f32) * k[:, j].astype(f32))
+                    .reshape(M, h, hd).sum(-1) * scale
+                    for j in range(N)], axis=-1)
+                for i in range(N)], axis=-2)  # [M, h, N(i), N(j)]
+            attn = jax.nn.softmax(logits, axis=-1)
+            attn = nn.Dropout(self.attn_drop, deterministic=deterministic)(attn)
+            aw = attn.astype(v.dtype)
+            out = jnp.stack([
+                sum(jnp.broadcast_to(aw[:, :, i, j, None], (M, h, hd))
+                    .reshape(M, self.dim) * v[:, j]
+                    for j in range(N))
+                for i in range(N)], axis=1)  # [M, N, C]
+        else:
+            def heads(t):
+                return t.reshape(*t.shape[:-1], h, hd)
 
-        q, k, v = heads(q), heads(k), heads(v)  # [M,N,h,d]
-        attn = jnp.einsum("mihd,mjhd->mhij", q, k,
-                          preferred_element_type=jnp.float32) * scale
-        attn = jax.nn.softmax(attn, axis=-1)
-        attn = nn.Dropout(self.attn_drop, deterministic=deterministic)(attn)
-        out = jnp.einsum("mhij,mjhd->mihd", attn.astype(v.dtype), v)
+            qh, kh, vh = heads(q), heads(k), heads(v)  # [M,N,h,d]
+            attn = jnp.einsum("mihd,mjhd->mhij", qh, kh,
+                              preferred_element_type=jnp.float32) * scale
+            attn = jax.nn.softmax(attn, axis=-1)
+            attn = nn.Dropout(self.attn_drop, deterministic=deterministic)(attn)
+            out = jnp.einsum("mhij,mjhd->mihd", attn.astype(vh.dtype), vh)
         out = out.reshape(*label_rep.shape[:-1], self.dim)
         out = Dense(self.dim, dtype=self.dtype, name="proj")(out)
         out = nn.Dropout(self.proj_drop, deterministic=deterministic)(out)
