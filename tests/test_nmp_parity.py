@@ -198,9 +198,12 @@ class TestCSWinAttention:
 
 class TestBasicAttention:
     @pytest.mark.parametrize("normalize_before", [True, False])
-    def test_matches_torch_reference(self, normalize_before):
+    # N=4 exercises the lane-friendly unrolled small-N path, N=6 the
+    # head-split einsum path (models/nmp.py BasicAttention)
+    @pytest.mark.parametrize("N", [4, 6])
+    def test_matches_torch_reference(self, normalize_before, N):
         """Reference BasicAttention (NMP.py:70-139) in torch."""
-        M, N, dim, qk_dim, heads = 7, 4, 8, 12, 2
+        M, dim, qk_dim, heads = 7, 8, 12, 2
         x_np = RNG.randn(M, N, dim).astype(np.float32)
         enc_np = RNG.randn(M, N, qk_dim - dim).astype(np.float32)
 
