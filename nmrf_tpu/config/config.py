@@ -105,7 +105,13 @@ class CfgNode(dict):
         return self
 
     def merge_from_list(self, opts: List[str]):
-        """Merge from dotted-path override pairs: ``["SOLVER.BASE_LR", "1e-4"]``."""
+        """Merge from dotted-path override pairs: ``["SOLVER.BASE_LR", "1e-4"]``.
+
+        Unknown keys raise (yacs parity, ``_merge_a_into_b``'s "Non-existent
+        config key"): silently creating keys turns a typo'd override — or a
+        stray CLI flag like ``--config-file`` landing in the remainder args —
+        into a no-op run with default config.
+        """
         self._assert_mutable()
         assert len(opts) % 2 == 0, f"Override list must have even length: {opts}"
         for key, value in zip(opts[0::2], opts[1::2]):
@@ -113,10 +119,12 @@ class CfgNode(dict):
             parts = key.split(".")
             for p in parts[:-1]:
                 if p not in node:
-                    node[p] = CfgNode()
+                    raise KeyError(f"Non-existent config key: {key}")
                 node = node[p]
                 assert isinstance(node, CfgNode), f"{key}: {p} is not a config node"
             leaf = parts[-1]
+            if leaf not in node:
+                raise KeyError(f"Non-existent config key: {key}")
             old = node.get(leaf, None)
             node[leaf] = _decode_override(value, old)
         return self

@@ -35,3 +35,17 @@ def test_config_merges_and_builds(path):
 
 def test_all_configs_found():
     assert len(CONFIGS) >= 6, CONFIGS  # the reference ships 6 variants
+
+
+def test_merge_from_list_rejects_unknown_keys():
+    """yacs parity: a typo'd override (or a stray CLI flag landing in the
+    KEY VALUE remainder) must raise, not silently create a dead key."""
+    cfg = get_cfg()
+    with pytest.raises(KeyError):
+        cfg.merge_from_list(["--config-file", "configs/sceneflow_swint.yaml"])
+    with pytest.raises(KeyError):
+        cfg.merge_from_list(["SOLVER.BASE_LRR", "1e-4"])
+    with pytest.raises(KeyError):
+        cfg.merge_from_list(["SOLVERR.BASE_LR", "1e-4"])
+    cfg.merge_from_list(["SOLVER.BASE_LR", "1e-4"])  # valid key still merges
+    assert cfg.SOLVER.BASE_LR == 1e-4

@@ -90,6 +90,10 @@ def main():
     from nmrf_tpu.models import build_model
 
     cfg = get_cfg()
+    if "--config-file" in argv:
+        i = argv.index("--config-file")
+        cfg.merge_from_file(argv[i + 1])
+        del argv[i:i + 2]
     cfg.TPU.COMPUTE_DTYPE = "bfloat16"
     cfg.merge_from_list(argv)
     cfg.freeze()
