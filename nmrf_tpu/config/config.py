@@ -84,11 +84,22 @@ class CfgNode(dict):
         return node
 
     # ---- merging ----
-    def merge_from_other(self, other: "CfgNode | dict"):
+    def merge_from_other(self, other: "CfgNode | dict", strict: bool = False,
+                         _prefix: str = ""):
+        """Merge another tree into this one.
+
+        strict=True rejects keys absent from this tree (yacs parity:
+        ``_merge_a_into_b``'s "Non-existent config key" — governs file
+        merges, so a typo'd YAML key fails loudly instead of becoming a
+        silent dead key).  strict=False permits new keys for programmatic
+        construction (building the defaults tree itself)."""
         self._assert_mutable()
         for k, v in other.items():
+            if strict and k not in self:
+                raise KeyError(f"Non-existent config key: {_prefix}{k}")
             if isinstance(v, (dict, CfgNode)) and isinstance(self.get(k), CfgNode):
-                self[k].merge_from_other(v)
+                self[k].merge_from_other(v, strict=strict,
+                                         _prefix=f"{_prefix}{k}.")
             else:
                 v = _literal_coerce(v)
                 self[k] = self._to_node(copy.deepcopy(v) if isinstance(v, (dict, list)) else v)
@@ -101,7 +112,7 @@ class CfgNode(dict):
         the including file (mirrors reference ``nmrf/config/config.py:44-116``).
         """
         loaded = _load_yaml_with_base(filename)
-        self.merge_from_other(loaded)
+        self.merge_from_other(loaded, strict=True)
         return self
 
     def merge_from_list(self, opts: List[str]):

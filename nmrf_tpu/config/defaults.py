@@ -135,6 +135,15 @@ def get_cfg() -> CN:
     # ops/modules/ms_deform_attn.py:64-75); set 0 for the unbounded exact
     # gather path.
     _C.TPU.MSDA_TAP_RADIUS = 6
+    # Tap-exactness guard during swin training: the train step monitors the
+    # sown ``msda_tap_oob`` fraction (share of sampling points whose
+    # contribution the tap kernel drops); above this threshold the train
+    # loop warns every log period.  Negative disables monitoring.
+    _C.TPU.MSDA_OOB_THRESH = 1e-3
+    # When the guard trips, automatically rebuild the train step on the
+    # unbounded exact gather path (MSDA_TAP_RADIUS 0) instead of training
+    # on silently-truncated attention.
+    _C.TPU.MSDA_OOB_FALLBACK = False
     # Eval-time padding bucketing to bound recompiles: pad H,W up to multiples.
     _C.TPU.EVAL_BUCKET = 64
     # Rematerialize (jax.checkpoint) each scanned NMP layer in the backward

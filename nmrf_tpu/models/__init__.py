@@ -4,11 +4,14 @@ from .losses import Criterion
 from .nmrf import NMRF
 
 
-def build_model(cfg, spatial_axis=None):
+def build_model(cfg, spatial_axis=None, msda_tap_radius=None):
     """Construct (NMRF flax module, Criterion) from a config tree.
 
     spatial_axis: mesh axis name to H-shard the decode region under
-    shard_map (set when cfg.TPU.MESH_SPATIAL > 1; parallel/mesh.py)."""
+    shard_map (set when cfg.TPU.MESH_SPATIAL > 1; parallel/mesh.py).
+    msda_tap_radius: override cfg.TPU.MSDA_TAP_RADIUS (the tap-OOB guard
+    rebuilds the model with radius 0 — the exact gather path — when learned
+    offsets drift outside the tap span during training)."""
     model = NMRF(
         spatial_axis=spatial_axis,
         backbone_type=cfg.BACKBONE.MODEL_TYPE,
@@ -40,7 +43,8 @@ def build_model(cfg, spatial_axis=None):
         aux_loss=cfg.SOLVER.AUX_LOSS,
         compute_dtype=cfg.TPU.COMPUTE_DTYPE,
         use_pallas=cfg.TPU.USE_PALLAS,
-        msda_tap_radius=cfg.TPU.MSDA_TAP_RADIUS,
+        msda_tap_radius=(cfg.TPU.MSDA_TAP_RADIUS if msda_tap_radius is None
+                         else msda_tap_radius),
         remat=cfg.TPU.REMAT,
     )
     criterion = Criterion(

@@ -199,6 +199,9 @@ def _window_native_kernel(shift_ref, q_ref, k_ref, v_ref, ke_ref, qe_ref,
                           ve_ref, selq_ref, selst_ref, ttile_ref, sred_ref,
                           tgrp_ref, sch_ref, mask_ref, out_ref, *, scale, wh,
                           ww, WB, N, Hp, Wp, neg, exact):
+    # Hp is the GLOBAL padded height; under H-sharding (shard_map) each tile
+    # passes its global row offset in shift_ref[1] so the shifted-region
+    # mask is evaluated in global coordinates (VERDICT r2 item 2).
     # exact: f32 inputs demand HIGHEST (multi-pass) MXU precision to match
     # the XLA reference bit-for-bit-ish; bf16 inputs take the fast path
     _P = dict(_F32, precision=lax.Precision.HIGHEST) if exact else _F32
@@ -231,6 +234,7 @@ def _window_native_kernel(shift_ref, q_ref, k_ref, v_ref, ke_ref, qe_ref,
     # (reference gen_shift_window_attn_mask, NMP.py:210-239); token
     # coordinates derive from iota: i = (lr * WB*ww + wx) * N + n
     s = shift_ref[0]
+    row0 = shift_ref[1]
     gh = pl.program_id(2)
     gw = pl.program_id(3)
     WBww = WB * ww
@@ -239,7 +243,7 @@ def _window_native_kernel(shift_ref, q_ref, k_ref, v_ref, ke_ref, qe_ref,
     def region(i):
         lr = i // (WBww * N)
         wx = (i // N) % WBww
-        y = gh * wh + lr
+        y = row0 + gh * wh + lr
         x = gw * WBww + wx
         ry = (y >= Hp - wh).astype(jnp.int32) + (y >= Hp - s).astype(jnp.int32)
         rx = (x >= Wp - ww).astype(jnp.int32) + (x >= Wp - s).astype(jnp.int32)
@@ -268,7 +272,7 @@ def _window_native_kernel(shift_ref, q_ref, k_ref, v_ref, ke_ref, qe_ref,
 
 def window_attention_native(qkv, ke_flat, qe_flat, ve_flat, shift,
                             scale, wh, ww, WB, num_heads, candidate_mask,
-                            neg=-1e9, interpret=None):
+                            neg=-1e9, interpret=None, row0=0, hp_total=None):
     """Fused windowed NMP attention with in-kernel masks and VMEM-resident
     positional tables.
 
@@ -283,11 +287,17 @@ def window_attention_native(qkv, ke_flat, qe_flat, ve_flat, shift,
       shift: int32 scalar (traced ok) — shifted-window shift of this layer.
       candidate_mask: block different candidates of the same pixel
         (Inference stage; Refinement passes False).
+      row0: int32 scalar (traced ok) — this tile's global row offset when
+        H is sharded under shard_map (0 unsharded): the shifted-region mask
+        is evaluated at global y = row0 + local y.
+      hp_total: global padded image height (defaults to qkv's local Hp).
     Returns [B, Hp, Wp, N, h*hd] in qkv.dtype.
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     B, Hp, Wp, N, C3 = qkv.shape
+    if hp_total is None:
+        hp_total = Hp
     h = num_heads
     hd = C3 // (3 * h)
     P = wh * ww
@@ -330,10 +340,11 @@ def window_attention_native(qkv, ke_flat, qe_flat, ve_flat, shift,
             (win[:, None] == win[None, :])
         np.fill_diagonal(same_pix, False)
         basemask = basemask + np.where(same_pix, neg, 0.0)
-    shift_arr = jnp.asarray(shift, jnp.int32).reshape(1)
+    shift_arr = jnp.stack([jnp.asarray(shift, jnp.int32).reshape(()),
+                           jnp.asarray(row0, jnp.int32).reshape(())])
     kernel = functools.partial(
         _window_native_kernel, scale=scale, wh=wh, ww=ww, WB=WB, N=N,
-        Hp=Hp, Wp=Wp, neg=neg, exact=qkv.dtype == jnp.float32)
+        Hp=hp_total, Wp=Wp, neg=neg, exact=qkv.dtype == jnp.float32)
     out = pl.pallas_call(
         kernel,
         grid=(B, h, nwh, nwwB),

@@ -95,8 +95,21 @@ def _unspatial(out):
     return out
 
 
+def _max_oob(mvars):
+    """Max of the sown ``msda_tap_oob`` intermediates (tap-exactness guard,
+    models/adaptor.py); None when the model sows none (non-swin / tap off)."""
+    import jax.numpy as jnp
+
+    leaves = [v for path, v in jax.tree_util.tree_flatten_with_path(mvars)[0]
+              if "msda_tap_oob" in jax.tree_util.keystr(path)]
+    if not leaves:
+        return None
+    return jnp.max(jnp.stack([jnp.asarray(l).max() for l in leaves]))
+
+
 def spatial_sharded_apply(model, mesh: Mesh, params, img1, img2,
-                          train: bool = False, rng=None):
+                          train: bool = False, rng=None,
+                          monitor_oob: bool = False):
     """Full NMRF forward with the image H axis sharded over the mesh
     `spatial` axis (model must be built with ``spatial_axis="spatial"``).
 
@@ -128,9 +141,18 @@ def spatial_sharded_apply(model, mesh: Mesh, params, img1, img2,
     img1 = jax.lax.with_sharding_constraint(img1, fspec)
     img2 = jax.lax.with_sharding_constraint(img2, fspec)
     rngs = {"dropout": rng} if rng is not None else None
-    f1_list, f2_list = model.apply(
-        params, img1, img2, not train, method="extract_feature",
-        rngs=rngs)
+    oob = None
+    if monitor_oob:
+        # MSDA (the sow site) runs in the backbone — the GSPMD region, so
+        # intermediates come out here, not through shard_map out_specs
+        (f1_list, f2_list), mvars = model.apply(
+            params, img1, img2, not train, method="extract_feature",
+            rngs=rngs, mutable=["intermediates"])
+        oob = _max_oob(mvars)
+    else:
+        f1_list, f2_list = model.apply(
+            params, img1, img2, not train, method="extract_feature",
+            rngs=rngs)
     f1_list = [jax.lax.with_sharding_constraint(f, fspec) for f in f1_list]
     f2_list = [jax.lax.with_sharding_constraint(f, fspec) for f in f2_list]
 
@@ -157,7 +179,10 @@ def spatial_sharded_apply(model, mesh: Mesh, params, img1, img2,
         out_specs=_decode_out_specs(model, train, batch_axis),
         check_vma=False,
     )
-    return _unspatial(fn(params, f1_list, f2_list, rng))
+    out = _unspatial(fn(params, f1_list, f2_list, rng))
+    if monitor_oob:
+        return out, oob
+    return out
 
 
 def make_sharded_forward(model, mesh: Mesh):
@@ -171,7 +196,8 @@ def make_sharded_forward(model, mesh: Mesh):
     return fwd
 
 
-def make_train_step(model, criterion, tx, seed: int = 0, mesh: Mesh = None):
+def make_train_step(model, criterion, tx, seed: int = 0, mesh: Mesh = None,
+                    monitor_oob: bool = False):
     """Build the jitted sharded train step.
 
     Returns step(params, opt_state, batch, step_idx) -> (params, opt_state,
@@ -184,17 +210,33 @@ def make_train_step(model, criterion, tx, seed: int = 0, mesh: Mesh = None):
     H-sharded (``spatial_sharded_apply``); the criterion is applied to the
     reassembled global outputs under the same jit, so losses and gradients
     match the unsharded step exactly (f32).
+
+    monitor_oob: surface the swin tap-MSDA exactness diagnostic (the max
+    sown ``msda_tap_oob`` fraction) as metrics["msda_tap_oob"] so the train
+    loop can warn / fall back when learned offsets drift out of tap range
+    (the tap kernel silently drops those contributions; ops/pallas/msda.py).
     """
     spatial = mesh is not None and mesh.shape.get(SPATIAL_AXIS, 1) > 1
 
     def loss_fn(params, batch, rng):
+        oob = None
         if spatial:
             out = spatial_sharded_apply(model, mesh, params, batch["img1"],
-                                        batch["img2"], train=True, rng=rng)
+                                        batch["img2"], train=True, rng=rng,
+                                        monitor_oob=monitor_oob)
+            if monitor_oob:
+                out, oob = out
+        elif monitor_oob:
+            out, mvars = model.apply(params, batch["img1"], batch["img2"],
+                                     train=True, rngs={"dropout": rng},
+                                     mutable=["intermediates"])
+            oob = _max_oob(mvars)
         else:
             out = model.apply(params, batch["img1"], batch["img2"], train=True,
                               rngs={"dropout": rng})
         losses = criterion(out, {"disp": batch["disp"], "valid": batch["valid"]})
+        if oob is not None:
+            losses = dict(losses, msda_tap_oob=oob)
         return losses["total"], losses
 
     # NOTE: no donate_argnums — buffer donation corrupts live buffers through

@@ -26,14 +26,20 @@ def all_gather_float_lists(values: Sequence[float], max_len: int = None):
     values = np.asarray(list(values), np.float64)
     if max_len is None:
         # one cheap collective to agree on the padded size
-        n = multihost_utils.process_allgather(np.asarray([len(values)]))
+        n = multihost_utils.process_allgather(np.asarray([len(values)],
+                                                         np.int32))
         max_len = int(np.max(n))
     padded = np.zeros((max_len + 1,), np.float64)
     padded[0] = len(values)
     padded[1:1 + len(values)] = values
-    gathered = multihost_utils.process_allgather(padded)  # [hosts, max_len+1]
+    # Ship the f64 payload as its uint32 bit pattern: with jax_enable_x64
+    # off (the default) process_allgather silently downcasts f64 -> f32,
+    # truncating the metric values (caught by tests/test_multiprocess.py).
+    bits = padded.view(np.uint32)
+    gathered = multihost_utils.process_allgather(bits)  # [hosts, 2*(max_len+1)]
     out: List[List[float]] = []
     for row in np.asarray(gathered):
+        row = np.asarray(row, np.uint32).view(np.float64)
         cnt = int(row[0])
         out.append(list(row[1:1 + cnt]))
     return out

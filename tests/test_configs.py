@@ -49,3 +49,21 @@ def test_merge_from_list_rejects_unknown_keys():
         cfg.merge_from_list(["SOLVERR.BASE_LR", "1e-4"])
     cfg.merge_from_list(["SOLVER.BASE_LR", "1e-4"])  # valid key still merges
     assert cfg.SOLVER.BASE_LR == 1e-4
+
+
+def test_merge_from_file_rejects_unknown_keys(tmp_path):
+    """File merges are strict too (ADVICE r2): a typo'd YAML key — including
+    one inherited through a __BASE__ chain — raises instead of becoming a
+    silent dead key."""
+    bad = tmp_path / "bad.yaml"
+    bad.write_text("SOLVER:\n  BASE_LRR: 1e-4\n")
+    with pytest.raises(KeyError, match="SOLVER.BASE_LRR"):
+        get_cfg().merge_from_file(str(bad))
+    child = tmp_path / "child.yaml"
+    child.write_text(f"__BASE__: {bad.name}\n")
+    with pytest.raises(KeyError, match="SOLVER.BASE_LRR"):
+        get_cfg().merge_from_file(str(child))
+    ok = tmp_path / "ok.yaml"
+    ok.write_text("SOLVER:\n  BASE_LR: 1e-4\n")
+    cfg = get_cfg().merge_from_file(str(ok))
+    assert cfg.SOLVER.BASE_LR == 1e-4

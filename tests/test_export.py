@@ -52,7 +52,15 @@ def test_hotswap_convention(setup):
     exp = export_eval(model, params, img1.shape, platforms=("cpu",),
                       freeze_params=False)
     rt = jax.export.deserialize(exp.serialize())
-    _assert_trees_equal(rt.call(params, img1, img2), want)
+    # NOT tol=0: the persistent compile cache on this machine can serve the
+    # live-jit side an executable AOT-compiled on a host with different CPU
+    # features (cpu_aot_loader warns about the feature mismatch), while the
+    # deserialized artifact compiles fresh — different instruction selection
+    # legitimately drifts f32 results by a few ulp (observed 1.9e-6).
+    # Bit-equality across distinct compilations is not a sound contract;
+    # the frozen round-trip test above keeps the exact check where both
+    # sides share one executable.
+    _assert_trees_equal(rt.call(params, img1, img2), want, tol=1e-4)
 
 
 def test_http_serving_roundtrip(setup, tmp_path):

@@ -148,10 +148,21 @@ class TestSpatialTrainStep:
 
 class TestSpatialSwinForwardParity:
     @pytest.mark.slow
-    def test_swin_eval_forward_matches_unsharded(self):
+    def test_swin_forward_matches_unsharded(self):
         """Swin variant under the spatial mesh: the deformable backbone
         (tap-MSDA Pallas path) runs under GSPMD, the decode region
-        H-sharded inside shard_map — must match the unsharded forward."""
+        H-sharded inside shard_map — must match the unsharded forward.
+
+        Parity contract (root cause of the round-2 red test, diagnosed with
+        tools/debug_swin_spatial.py): every CONTINUOUS tensor matches to f32
+        reduction-reorder noise (<1e-4; measured <7e-7 here), but the
+        decode's winner selection is an argmax over N=4 logits — one pixel
+        in this fixture has a top1-top2 logit gap of 4.8e-8, so the sharded
+        path's (equally valid) different summation order flips its winner,
+        shifting final disp by up to the candidate gap at a few pixels.
+        That is selection noise, not a sharding bug, so the discrete check
+        is tie-aware: any argmax flip must sit on a sub-1e-5 logit margin
+        and disp must match tightly away from flip influence."""
         cfg = get_cfg()
         cfg.BACKBONE.MODEL_TYPE = "swin"
         cfg.BACKBONE.OUT_CHANNELS = 128
@@ -169,8 +180,39 @@ class TestSpatialSwinForwardParity:
             lambda r: model.init(r, img1[:1], img2[:1], train=False))(
             jax.random.PRNGKey(0))
         mesh = make_mesh(DATA, SPATIAL)
-        ref = jax.jit(lambda p, a, b: model.apply(p, a, b, train=False))(
+        # train=True surfaces the aux per-layer tensors (all drop rates are
+        # 0 in this config, so train and eval compute identically)
+        ref = jax.jit(lambda p, a, b: model.apply(p, a, b, train=True))(
             params, img1, img2)
         got = jax.jit(lambda p, a, b: spatial_sharded_apply(
-            model_sp, mesh, p, a, b, train=False))(params, img1, img2)
-        _assert_tree_close(ref, got, 1e-4, keys=["disp", "prob", "disp_pred"])
+            model_sp, mesh, p, a, b, train=True))(params, img1, img2)
+
+        # 1) continuous parity: every pre-selection tensor, every layer
+        _assert_tree_close(ref, got, 1e-4,
+                           keys=["prob", "proposal", "coarse_disp_layers",
+                                 "logits_layers"])
+        np.testing.assert_array_equal(np.asarray(ref["initial_proposal"]),
+                                      np.asarray(got["initial_proposal"]))
+
+        # 2) discrete winner selection: flips allowed only on degenerate
+        # (noise-level) logit margins, and only a handful of them
+        rl = np.asarray(ref["logits_layers"][-1])
+        gl = np.asarray(got["logits_layers"][-1])
+        flips = rl.argmax(-1) != gl.argmax(-1)
+        if flips.any():
+            srt = np.sort(rl, axis=-1)
+            gaps = (srt[..., -1] - srt[..., -2])[flips]
+            assert gaps.max() < 1e-5, f"non-tie argmax flip, margin {gaps.max()}"
+            assert flips.mean() < 1e-3, f"{flips.sum()} flips / {flips.size}"
+
+        # 3) final disparity: strict when selection agreed everywhere;
+        # otherwise bounded by flip influence (median pool + refinement
+        # damp a 2 px coarse winner change to <0.1 px downstream)
+        for k in ("disp", "disp_pred"):
+            r, g = np.asarray(ref[k]), np.asarray(got[k])
+            err = np.abs(r - g)
+            if not flips.any():
+                assert err.max() < 1e-4, f"{k}: {err.max()}"
+            else:
+                assert err.max() < 0.1, f"{k}: {err.max()}"
+                assert (err > 1e-4).mean() < 0.01, (k, (err > 1e-4).mean())

@@ -47,7 +47,7 @@ def k_repeat(q_ref, o_ref):
 def call(kernel, inputs, shapes):
     return pl.pallas_call(
         kernel,
-        in_specs=[pl.BlockSpec(s, lambda: tuple(0 for _ in s),
+        in_specs=[pl.BlockSpec(s, lambda s=s: tuple(0 for _ in s),
                                memory_space=pltpu.VMEM) for s in shapes],
         out_specs=pl.BlockSpec((R, PH), lambda: (0, 0),
                                memory_space=pltpu.VMEM),

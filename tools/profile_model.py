@@ -74,10 +74,18 @@ def main():
     argv = sys.argv[1:]
     out = "/tmp/nmrf_profile"
     top = 40
+    def _take(flag):
+        i = argv.index(flag)
+        if i + 1 >= len(argv):
+            raise SystemExit(f"usage: {flag} <value>")
+        v = argv[i + 1]
+        del argv[i:i + 2]
+        return v
+
     if "--out" in argv:
-        i = argv.index("--out"); out = argv[i + 1]; del argv[i:i + 2]
+        out = _take("--out")
     if "--top" in argv:
-        i = argv.index("--top"); top = int(argv[i + 1]); del argv[i:i + 2]
+        top = int(_take("--top"))
 
     from nmrf_tpu.utils.runtime import configure_jax
 
@@ -92,6 +100,8 @@ def main():
     cfg = get_cfg()
     if "--config-file" in argv:
         i = argv.index("--config-file")
+        if i + 1 >= len(argv):
+            raise SystemExit("usage: --config-file <path>")
         cfg.merge_from_file(argv[i + 1])
         del argv[i:i + 2]
     cfg.TPU.COMPUTE_DTYPE = "bfloat16"

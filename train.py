@@ -60,15 +60,24 @@ def setup(args):
 
 
 def evaluate(eval_step, params, cfg, logger):
-    """Per-dataset evaluation (reference main.py:302-324)."""
+    """Per-dataset evaluation (reference main.py:302-324).
+
+    Each process evaluates only its contiguous ``InferenceSampler`` shard
+    (union of ranks == exact dataset, reference evaluation.py:42-75 +
+    datasets.py:409-436); ``metrics_gather_fn`` reassembles the per-sample
+    metric lists across hosts so the averages equal a single-process run."""
+    import jax
     import jax.numpy as jnp
     from nmrf_tpu.data import build_val_dataset
+    from nmrf_tpu.data.loader import InferenceSampler
     from nmrf_tpu.data.frame_io import InputPadder
     from nmrf_tpu.evalx import DispEvaluator, inference_on_dataset, print_csv_format
 
     results = {}
     for idx, name in enumerate(cfg.DATASETS.TEST):
         dataset = build_val_dataset(cfg, name)
+        sampler = InferenceSampler(len(dataset), rank=jax.process_index(),
+                                   world_size=jax.process_count())
         evaluator = DispEvaluator(
             thres=cfg.TEST.EVAL_THRESH[idx],
             only_valid=cfg.TEST.EVAL_ONLY_VALID[idx],
@@ -77,7 +86,7 @@ def evaluate(eval_step, params, cfg, logger):
             divis_by=cfg.DATASETS.DIVIS_BY)
 
         def data_iter():
-            for i in range(len(dataset)):
+            for i in sampler:
                 s = dataset[i]
                 yield {k: (v[None] if isinstance(v, np.ndarray) else [v])
                        for k, v in s.items()}
@@ -109,13 +118,11 @@ def evaluate(eval_step, params, cfg, logger):
                 res["proposal"] = prop.reshape(prop.shape[0], hp * wp, -1)
             return res
 
-        import jax as _jax
-
         gather_fn = None
-        if _jax.process_count() > 1:
+        if jax.process_count() > 1:
             from nmrf_tpu.utils.dist import metrics_gather_fn as gather_fn
         results[name] = inference_on_dataset(run_model, data_iter(), evaluator,
-                                             total=len(dataset),
+                                             total=len(sampler),
                                              gather_fn=gather_fn)
         logger.info(f"Evaluation results for {name} in csv format:")
         print_csv_format(results[name], logger)
@@ -209,8 +216,18 @@ def main():
         evaluate(eval_step, params, cfg, logger)
         return
 
+    # tap-MSDA exactness guard: monitor the dropped-contribution fraction
+    # during swin training; warn / fall back to the exact gather path when
+    # learned offsets drift out of tap range (utils/guards.py)
+    from nmrf_tpu.utils.guards import TapOOBGuard
+
+    tap_guard = TapOOBGuard(cfg.TPU.MSDA_OOB_THRESH, cfg.TPU.MSDA_OOB_FALLBACK,
+                            logger)
+    monitor_oob = (cfg.BACKBONE.MODEL_TYPE == "swin"
+                   and cfg.TPU.MSDA_TAP_RADIUS > 0 and tap_guard.enabled)
     train_step = make_train_step(step_model, criterion, tx,
-                                 seed=max(cfg.SEED, 0), mesh=mesh)
+                                 seed=max(cfg.SEED, 0), mesh=mesh,
+                                 monitor_oob=monitor_oob)
     dataset = build_train_dataset(cfg)
     sampler = ShardedBatchSampler(
         len(dataset), cfg.SOLVER.IMS_PER_BATCH,
@@ -251,8 +268,19 @@ def main():
             # i % log_freq == 0, so the printed meters are always current.
             if i % log_freq == 0 or total_steps == cfg.SOLVER.MAX_ITER:
                 host_losses = {k: float(v) for k, v in losses.items()}
+                if tap_guard.check(host_losses.get("msda_tap_oob", 0.0)):
+                    # rebuild the step on the unbounded exact gather path;
+                    # params/opt_state carry over (same tree either way)
+                    model_fb, _ = build_model(
+                        cfg, spatial_axis=getattr(step_model, "spatial_axis",
+                                                  None),
+                        msda_tap_radius=0)
+                    train_step = make_train_step(
+                        model_fb, criterion, tx, seed=max(cfg.SEED, 0),
+                        mesh=mesh, monitor_oob=False)
                 metric_logger.update(lr=float(np.asarray(schedule(
                     (total_steps - 1) // cfg.SOLVER.ACCUM_STEPS))))
+                metric_logger.update(epoch=epoch)  # reference main.py:404
                 metric_logger.update(**host_losses)
                 if writer is not None:
                     for k, v in host_losses.items():
