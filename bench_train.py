@@ -2,6 +2,17 @@
 """Training-throughput benchmark: steps/s of the full sharded train step
 (forward + backward + AdamW update) at the SceneFlow crop resolution.
 
+Production-recipe invocation (reference trains at crop 384x768, global
+batch 8, /root/reference/nmrf/config/default.py:97-116):
+
+    python bench_train.py SOLVER.IMS_PER_BATCH 8 \
+        DATASETS.CROP_SIZE "(384, 768)" TPU.COMPUTE_DTYPE bfloat16 \
+        [TPU.REMAT True]
+
+Reports ms/step, frames/s, and a back-of-envelope MFU from XLA's own
+cost analysis (flops of the compiled step) against the chip's peak
+(--peak-tflops, default 197 = v5e bf16).
+
 Not the driver metric (bench.py is); prints one JSON line for the record.
 """
 
@@ -24,8 +35,14 @@ def main():
     from nmrf_tpu.parallel import make_mesh, make_train_step, replicated, shard_batch
     from nmrf_tpu.solver import build_optimizer
 
+    argv = sys.argv[1:]
+    peak_tflops = 197.0  # v5e bf16 peak
+    if "--peak-tflops" in argv:
+        i = argv.index("--peak-tflops")
+        peak_tflops = float(argv[i + 1])
+        del argv[i:i + 2]
     cfg = get_cfg()
-    cfg.merge_from_list(sys.argv[1:])
+    cfg.merge_from_list(argv)
     cfg.freeze()
 
     B = cfg.SOLVER.IMS_PER_BATCH
@@ -49,6 +66,16 @@ def main():
     batch = shard_batch(batch_np, mesh)
     step = make_train_step(model, criterion, tx)
 
+    # XLA's own flop count of the compiled step (forward+backward+AdamW)
+    flops = None
+    try:
+        ca = step.lower(params, opt_state, batch, 0).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0)) or None
+    except Exception as e:  # cost analysis is best-effort per backend
+        print(f"cost_analysis unavailable: {e}", file=sys.stderr)
+
     # warmup/compile
     params, opt_state, losses = step(params, opt_state, batch, 0)
     print("warmup total:", float(losses["total"]), file=sys.stderr)
@@ -59,12 +86,17 @@ def main():
         params, opt_state, losses = step(params, opt_state, batch, i + 1)
     total = float(losses["total"])  # readback closes the pipeline
     dt = (time.perf_counter() - t0) / iters
-    print(json.dumps({
+    rec = {
         "metric": f"train_step_{H}x{W}_b{B}",
         "value": round(dt * 1000.0, 2),
         "unit": "ms/step",
+        "frames_per_s": round(B / dt, 2),
         "total_loss": round(total, 3),
-    }))
+    }
+    if flops:
+        rec["tflops_per_step"] = round(flops / 1e12, 2)
+        rec["mfu"] = round(flops / dt / (peak_tflops * 1e12), 4)
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

@@ -236,7 +236,7 @@ class WindowAttention(nn.Module):
         q_embed, k_embed, v_embed = jnp.split(rpe, 3, axis=-1)
 
         Bw = q.shape[0]
-        use_pallas = self.use_pallas and self.spatial_axis is None and (
+        use_pallas = self.use_pallas and (
             self.attn_drop == 0.0 or deterministic)
         if use_pallas:
             # window-native fused path (ops/pallas/attention.py): the
@@ -263,16 +263,37 @@ class WindowAttention(nn.Module):
                 h, R, P * hd)
             ve_flat = v_embed.transpose(2, 0, 1, 3)[:, pixs].reshape(
                 h, R, P * hd)
+            if self.spatial_axis is not None:
+                # H-sharded under shard_map: the kernel evaluates the
+                # shifted-region mask in GLOBAL coordinates — this tile's
+                # row offset rides in as an SMEM scalar (VERDICT r2 item 2)
+                from jax import lax as _lax
+
+                row0 = _lax.axis_index(self.spatial_axis) * H
+                hp_total = H * _lax.axis_size(self.spatial_axis)
+            else:
+                row0 = 0
+                hp_total = H
             if self.pallas_interpret:
                 out = window_attention_native(
                     qkv, ke_flat, qe_flat, ve_flat, shift, scale,
-                    wh, ww, WB, h, self.candidate_mask, interpret=True)
+                    wh, ww, WB, h, self.candidate_mask, interpret=True,
+                    row0=row0, hp_total=hp_total)
             else:
                 out = window_attention_native_op(
-                    qkv, ke_flat, qe_flat, ve_flat, shift, scale,
-                    wh, ww, WB, h, self.candidate_mask)
+                    qkv, ke_flat, qe_flat, ve_flat, shift, row0, scale,
+                    wh, ww, WB, h, self.candidate_mask, NEG_INF, hp_total)
             if not static_zero:
-                out = jnp.roll(out, (shift, shift), axis=(1, 2))
+                if self.spatial_axis is not None:
+                    from ..parallel.spatial import global_roll_h
+
+                    s_ = wh // 2
+                    rolled = jnp.roll(out, s_, axis=2)
+                    rolled = global_roll_h(rolled, s_, self.spatial_axis,
+                                           h_axis=1)
+                    out = jnp.where(shift > 0, rolled, out)
+                else:
+                    out = jnp.roll(out, (shift, shift), axis=(1, 2))
             return out
         q = q * scale
         f32 = dict(preferred_element_type=jnp.float32)
@@ -484,8 +505,10 @@ class CSWinAttention(nn.Module):
 
         T = H_sp * W_sp * N
         mask = jnp.asarray(window_attn_mask((H_sp, W_sp, N)))
-        use_fused = (self.use_pallas and self.spatial_axis is None
-                     and self.idx in (0, 1) and T <= 1024
+        # under H-sharding only idx=1 reaches here (idx=0 takes
+        # _vertical_sharded above) and its stripes are tile-local, so the
+        # fused kernel applies unchanged
+        use_fused = (self.use_pallas and self.idx in (0, 1) and T <= 1024
                      and (self.attn_drop == 0.0 or deterministic))
         if use_fused:
             # fused stripe attention: [h, G, T, hd] layout, heads folded
@@ -601,12 +624,30 @@ class CSWinAttention(nn.Module):
         tiles = mfull.reshape(n, H * W_sp * N, Hg * W_sp * N)
         mask = jnp.take(jnp.asarray(tiles), tix, axis=0)
 
-        attn = jnp.einsum("bhic,bhjc->bhij", qs * scale, ks,
-                          preferred_element_type=jnp.float32)
-        attn = attn + mask[None, None]
-        attn = jax.nn.softmax(attn, axis=-1)
-        attn = nn.Dropout(self.attn_drop, deterministic=deterministic)(attn)
-        out = jnp.einsum("bhij,bhjc->bhic", attn.astype(vv.dtype), vv) + rpe
+        if self.use_pallas and (self.attn_drop == 0.0 or deterministic):
+            # fused rectangular attention: local query rows x gathered
+            # global stripe (masked_attention handles Rq != Rk)
+            from ..ops.pallas.attention import (
+                masked_attention, masked_attention_op)
+
+            qh = qs.transpose(1, 0, 2, 3)  # [h, B*nj, Rq, hd]
+            kh = ks.transpose(1, 0, 2, 3)
+            vh = vv.transpose(1, 0, 2, 3)
+            if self.pallas_interpret:
+                out = masked_attention(qh, kh, vh, mask[None], scale,
+                                       interpret=True)
+            else:
+                out = masked_attention_op(qh, kh, vh, mask[None], scale)
+            out = out.transpose(1, 0, 2, 3) + rpe
+        else:
+            attn = jnp.einsum("bhic,bhjc->bhij", qs * scale, ks,
+                              preferred_element_type=jnp.float32)
+            attn = attn + mask[None, None]
+            attn = jax.nn.softmax(attn, axis=-1)
+            attn = nn.Dropout(self.attn_drop,
+                              deterministic=deterministic)(attn)
+            out = jnp.einsum("bhij,bhjc->bhic", attn.astype(vv.dtype),
+                             vv) + rpe
 
         out = out.transpose(0, 2, 1, 3).reshape(B, nj, H, W_sp, N, self.dim)
         out = out.transpose(0, 2, 1, 3, 4, 5).reshape(B, H, Wp, N, self.dim)

@@ -69,38 +69,45 @@ def _masked_attention_kernel(q_ref, k_ref, v_ref, mask_ref, out_ref, *,
 def masked_attention(q, k, v, mask, scale, interpret=None):
     """Fused ``softmax(q k^T * scale + mask) v``.
 
-    q, k, v: [h, G, R, hd]; mask: [Gm, R, R] additive f32 with Gm in
-    {1, G} (Gm=1 broadcasts).  Returns [h, G, R, hd] in q.dtype.
+    q: [h, G, Rq, hd]; k, v: [h, G, Rk, hd] (Rk may exceed Rq — the
+    H-sharded CSWin vertical stripe attends local queries against the
+    all-gathered global stripe); mask: [Gm, Rq, Rk] additive f32 with Gm in
+    {1, G} (Gm=1 broadcasts).  Returns [h, G, Rq, hd] in q.dtype.
 
     Grid is (G, h) with h innermost: the mask block's index map is
-    constant across the h steps, so Mosaic fetches each [R, R] mask once
+    constant across the h steps, so Mosaic fetches each [Rq, Rk] mask once
     per group instead of once per (head, group).
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    h, G, R, hd = q.shape
+    h, G, Rq, hd = q.shape
+    Rk = k.shape[2]
     Gm = mask.shape[0]
-    tok = pl.BlockSpec((1, 1, R, hd), lambda g, i: (i, g, 0, 0),
-                       memory_space=pltpu.VMEM)
-    msk = pl.BlockSpec((1, R, R), lambda g, i: (g % Gm, 0, 0),
+
+    def tok(R):
+        return pl.BlockSpec((1, 1, R, hd), lambda g, i: (i, g, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    msk = pl.BlockSpec((1, Rq, Rk), lambda g, i: (g % Gm, 0, 0),
                        memory_space=pltpu.VMEM)
     return pl.pallas_call(
         functools.partial(_masked_attention_kernel, scale=scale),
         grid=(G, h),
-        in_specs=[tok, tok, tok, msk],
-        out_specs=tok,
-        out_shape=jax.ShapeDtypeStruct((h, G, R, hd), q.dtype),
+        in_specs=[tok(Rq), tok(Rk), tok(Rk), msk],
+        out_specs=tok(Rq),
+        out_shape=jax.ShapeDtypeStruct((h, G, Rq, hd), q.dtype),
         interpret=interpret,
     )(q, k, v, mask)
 
 
 def masked_attention_reference(q, k, v, mask, scale):
     """jnp golden of ``masked_attention`` (tests + custom-VJP backward)."""
-    h, G, R, hd = q.shape
+    h, G, Rq, hd = q.shape
+    Rk = k.shape[2]
     Gm = mask.shape[0]
     logits = jnp.einsum("hgic,hgjc->hgij", q.astype(jnp.float32) * scale,
                         k.astype(jnp.float32))
-    m = mask if Gm == G else jnp.broadcast_to(mask, (G, R, R))
+    m = mask if Gm == G else jnp.broadcast_to(mask, (G, Rq, Rk))
     logits = logits + m[None]
     attn = jax.nn.softmax(logits, axis=-1)
     return jnp.einsum("hgij,hgjc->hgic", attn.astype(v.dtype),
@@ -198,10 +205,14 @@ def hd_group_selectors(P, hd):
 def _window_native_kernel(shift_ref, q_ref, k_ref, v_ref, ke_ref, qe_ref,
                           ve_ref, selq_ref, selst_ref, ttile_ref, sred_ref,
                           tgrp_ref, sch_ref, mask_ref, out_ref, *, scale, wh,
-                          ww, WB, N, Hp, Wp, neg, exact):
+                          ww, WB, N, Hp, Wp, neg, exact, direct=False):
     # Hp is the GLOBAL padded height; under H-sharding (shard_map) each tile
     # passes its global row offset in shift_ref[1] so the shifted-region
     # mask is evaluated in global coordinates (VERDICT r2 item 2).
+    # direct: q/k/v blocks arrive in the natural [1, wh, WB*ww*N, hd] image
+    # layout (BlockSpec-addressed packing — no caller transpose); the
+    # row-major (lr, wx, n) order IS the kernel token order, so a leading
+    # -dim collapse reshape restores [R, hd].
     # exact: f32 inputs demand HIGHEST (multi-pass) MXU precision to match
     # the XLA reference bit-for-bit-ish; bf16 inputs take the fast path
     _P = dict(_F32, precision=lax.Precision.HIGHEST) if exact else _F32
@@ -371,12 +382,16 @@ def window_attention_native(qkv, ke_flat, qe_flat, ve_flat, shift,
 
 def window_attention_native_reference(qkv, ke_flat, qe_flat, ve_flat, shift,
                                       scale, wh, ww, WB,
-                                      num_heads, candidate_mask, neg=-1e9):
+                                      num_heads, candidate_mask, neg=-1e9,
+                                      row0=0, hp_total=None):
     """jnp golden of :func:`window_attention_native` (tests + VJP backward).
 
-    Mirrors the kernel math exactly, including the coordinate-derived masks.
+    Mirrors the kernel math exactly, including the coordinate-derived masks
+    (evaluated at global y = row0 + local y against the global hp_total).
     """
     B, Hp, Wp, N, C3 = qkv.shape
+    if hp_total is None:
+        hp_total = Hp
     h = num_heads
     hd = C3 // (3 * h)
     P = wh * ww
@@ -412,13 +427,14 @@ def window_attention_native_reference(qkv, ke_flat, qe_flat, ve_flat, shift,
     # per-(gh, gw) shifted-region mask
     ghs = np.arange(nwh).repeat(nwwB)
     gws = np.tile(np.arange(nwwB), nwh)
-    y = ghs[:, None] * wh + lr[None, :]          # [nW_groups, R]
+    y = jnp.asarray(ghs[:, None] * wh + lr[None, :]) \
+        + jnp.asarray(row0, jnp.int32)           # [nW_groups, R] global rows
     xg = gws[:, None] * WBww + wx[None, :]
     s = jnp.asarray(shift, jnp.int32)
 
     def region(y, x):
-        ry = (y >= Hp - wh).astype(np.int32) + \
-            jnp.asarray(y >= Hp - s, jnp.int32)
+        ry = jnp.asarray(y >= hp_total - wh, jnp.int32) + \
+            jnp.asarray(y >= hp_total - s, jnp.int32)
         rx = (x >= Wp - ww).astype(np.int32) + \
             jnp.asarray(x >= Wp - s, jnp.int32)
         return 3 * ry + rx
@@ -439,33 +455,36 @@ def window_attention_native_reference(qkv, ke_flat, qe_flat, ve_flat, shift,
     return out.reshape(B, Hp, Wp, N, h * hd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12, 13))
 def window_attention_native_op(qkv, ke_flat, qe_flat, ve_flat,
-                               shift, scale, wh, ww, WB, num_heads,
-                               candidate_mask, neg=-1e9):
+                               shift, row0, scale, wh, ww, WB, num_heads,
+                               candidate_mask, neg=-1e9, hp_total=None):
     """Differentiable window-native attention (Pallas fwd, remat bwd)."""
     return window_attention_native(qkv, ke_flat, qe_flat, ve_flat,
                                    shift, scale, wh, ww, WB, num_heads,
-                                   candidate_mask, neg)
+                                   candidate_mask, neg, row0=row0,
+                                   hp_total=hp_total)
 
 
-def _wan_fwd(qkv, ke_flat, qe_flat, ve_flat, shift, scale, wh, ww,
-             WB, num_heads, candidate_mask, neg):
+def _wan_fwd(qkv, ke_flat, qe_flat, ve_flat, shift, row0, scale, wh, ww,
+             WB, num_heads, candidate_mask, neg, hp_total):
     out = window_attention_native(qkv, ke_flat, qe_flat, ve_flat,
                                   shift, scale, wh, ww, WB, num_heads,
-                                  candidate_mask, neg)
-    return out, (qkv, ke_flat, qe_flat, ve_flat, shift)
+                                  candidate_mask, neg, row0=row0,
+                                  hp_total=hp_total)
+    return out, (qkv, ke_flat, qe_flat, ve_flat, shift, row0)
 
 
-def _wan_bwd(scale, wh, ww, WB, num_heads, candidate_mask, neg, res, g):
-    qkv, ke_flat, qe_flat, ve_flat, shift = res
+def _wan_bwd(scale, wh, ww, WB, num_heads, candidate_mask, neg, hp_total,
+             res, g):
+    qkv, ke_flat, qe_flat, ve_flat, shift, row0 = res
     _, vjp = jax.vjp(
         lambda qkv, ke, qe, ve: window_attention_native_reference(
             qkv, ke, qe, ve, shift, scale, wh, ww, WB,
-            num_heads, candidate_mask, neg),
+            num_heads, candidate_mask, neg, row0=row0, hp_total=hp_total),
         qkv, ke_flat, qe_flat, ve_flat)
     dqkv, dke, dqe, dve = vjp(g)
-    return dqkv, dke, dqe, dve, None
+    return dqkv, dke, dqe, dve, None, None
 
 
 window_attention_native_op.defvjp(_wan_fwd, _wan_bwd)

@@ -177,6 +177,6 @@ class TestWindowNative:
                                              scale)
         check_grads(
             lambda qkv, ke, qe, ve: jnp.sum(fa.window_attention_native_op(
-                qkv, ke, qe, ve, 2, scale, ws, ws, WB, heads,
+                qkv, ke, qe, ve, 2, 0, scale, ws, ws, WB, heads,
                 False) ** 2),
             (qkv, ke, qe, ve), atol=5e-3, rtol=5e-3)

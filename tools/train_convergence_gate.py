@@ -1,0 +1,201 @@
+#!/usr/bin/env python
+"""On-chip accuracy protocol with teeth (VERDICT r2 item 6).
+
+Real datasets / released checkpoints are unreachable here (no egress), so
+this gate keeps the training stack honest end-to-end on hardware:
+
+  1. trains the flagship model on synthetic random-dot stereograms at the
+     production recipe shapes (reference default: crop 384x768, batch 8,
+     /root/reference/nmrf/config/default.py:97-116) for --steps steps;
+  2. evaluates a FIXED held-out synthetic set every --eval-period steps and
+     at the end, and ASSERTS final held-out EPE < --epe-thresh (exit 1
+     otherwise);
+  3. at --resume-at it saves a checkpoint, trains --resume-len more steps
+     recording the loss trajectory, restores, replays the same steps, and
+     ASSERTS the trajectories match bit-for-bit — on-chip proof that
+     save/restore is exact mid-run.
+
+Writes CONVERGENCE.json at the repo root.
+
+Usage (production recipe, bf16):
+    python tools/train_convergence_gate.py --steps 1000 \
+        SOLVER.IMS_PER_BATCH 8 DATASETS.CROP_SIZE "(384, 768)" \
+        TPU.COMPUTE_DTYPE bfloat16
+
+Smoke (CPU):
+    JAX_PLATFORMS=cpu python tools/train_convergence_gate.py --steps 8 \
+        --eval-period 4 --holdout 2 --resume-at 2 --resume-len 2 \
+        --epe-thresh 1e9 SOLVER.IMS_PER_BATCH 2 \
+        DATASETS.CROP_SIZE "(64, 128)" DPN.MAX_DISP 64 SOLVER.MAX_DISP 48
+"""
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+
+def _flag(argv, name, default, cast):
+    if name in argv:
+        i = argv.index(name)
+        v = cast(argv[i + 1])
+        del argv[i:i + 2]
+        return v
+    return default
+
+
+def make_batch(cfg, step, rng_base=1234):
+    """Per-step deterministic synthetic batch at the training crop."""
+    from nmrf_tpu.data.synthetic import make_stereo_pair
+
+    B = cfg.SOLVER.IMS_PER_BATCH
+    H, W = cfg.DATASETS.CROP_SIZE
+    ims1, ims2, disps, valids = [], [], [], []
+    for b in range(B):
+        rng = np.random.RandomState(rng_base + step * 1024 + b)
+        i1, i2, d, v = make_stereo_pair(H, W, max_disp=cfg.DPN.MAX_DISP // 2,
+                                        rng=rng)
+        ims1.append(i1)
+        ims2.append(i2)
+        disps.append(d)
+        valids.append(v)
+    return {"img1": np.stack(ims1), "img2": np.stack(ims2),
+            "disp": np.stack(disps).astype(np.float32),
+            "valid": np.stack(valids)}
+
+
+def main():
+    from nmrf_tpu.utils.runtime import configure_jax
+
+    configure_jax()
+    import jax
+    import jax.numpy as jnp
+
+    from nmrf_tpu.config import get_cfg
+    from nmrf_tpu.models import build_model
+    from nmrf_tpu.parallel import (make_eval_step, make_mesh, make_train_step,
+                                   replicated, shard_batch)
+    from nmrf_tpu.solver import build_optimizer
+    from nmrf_tpu.utils.checkpoint import restore_checkpoint, save_checkpoint
+
+    argv = sys.argv[1:]
+    steps = _flag(argv, "--steps", 1000, int)
+    eval_period = _flag(argv, "--eval-period", 200, int)
+    holdout = _flag(argv, "--holdout", 8, int)
+    epe_thresh = _flag(argv, "--epe-thresh", 5.0, float)
+    resume_at = _flag(argv, "--resume-at", 60, int)
+    resume_len = _flag(argv, "--resume-len", 3, int)
+    out_path = _flag(argv, "--out", os.path.join(ROOT, "CONVERGENCE.json"),
+                     str)
+    ckpt_dir = _flag(argv, "--ckpt-dir", "", str) or tempfile.mkdtemp(
+        prefix="convgate_")
+
+    cfg = get_cfg()
+    # production recipe defaults (override on the CLI)
+    cfg.DATASETS.CROP_SIZE = (384, 768)
+    cfg.SOLVER.IMS_PER_BATCH = 8
+    cfg.TPU.COMPUTE_DTYPE = "bfloat16"
+    cfg.SOLVER.MAX_ITER = 10 ** 9  # schedule horizon >> steps
+    cfg.merge_from_list(argv)
+    cfg.freeze()
+
+    model, criterion = build_model(cfg)
+    rng = jax.random.PRNGKey(cfg.SEED)
+    img0 = jnp.zeros((1, 64, 128, 3), jnp.float32)
+    params = jax.jit(lambda r: model.init(r, img0, img0, train=False))(rng)
+    tx, _ = build_optimizer(params, cfg)
+    opt_state = tx.init(params)
+    mesh = make_mesh(cfg.TPU.MESH_DATA, cfg.TPU.MESH_SPATIAL)
+    params = jax.device_put(params, replicated(mesh))
+    opt_state = jax.device_put(opt_state, replicated(mesh))
+    step_fn = make_train_step(model, criterion, tx, seed=cfg.SEED)
+    eval_fn = make_eval_step(model)
+
+    H, W = cfg.DATASETS.CROP_SIZE
+    hold = [make_batch(cfg, 10 ** 6 + i, rng_base=777)
+            for i in range(holdout)]
+
+    def holdout_epe(params):
+        tot, cnt = 0.0, 0
+        for hb in hold:
+            out = eval_fn(params, jnp.asarray(hb["img1"]),
+                          jnp.asarray(hb["img2"]))
+            disp = np.asarray(out["disp"])
+            err = np.abs(disp - hb["disp"])[hb["valid"]]
+            tot += float(err.sum())
+            cnt += int(err.size)
+        return tot / max(cnt, 1)
+
+    log = {"recipe": {"crop": [H, W], "batch": cfg.SOLVER.IMS_PER_BATCH,
+                      "dtype": cfg.TPU.COMPUTE_DTYPE,
+                      "steps": steps, "epe_thresh": epe_thresh},
+           "platform": jax.devices()[0].platform,
+           "eval": [], "resume_equivalence": None}
+
+    epe0 = holdout_epe(params)
+    log["eval"].append({"step": 0, "holdout_epe": round(epe0, 4)})
+    print(f"step 0: holdout EPE {epe0:.3f}", flush=True)
+
+    t_start = time.perf_counter()
+    traj_live = []
+    saved = None
+    for s in range(1, steps + 1):
+        batch = shard_batch(make_batch(cfg, s), mesh)
+        params, opt_state, losses = step_fn(params, opt_state, batch, s)
+        if s == resume_at:
+            save_checkpoint(ckpt_dir, s, {"params": params,
+                                          "opt_state": opt_state, "step": s})
+            saved = s
+        if saved is not None and resume_at < s <= resume_at + resume_len:
+            traj_live.append(float(losses["total"]))
+        if s % 20 == 0 or s == steps:
+            tot = float(losses["total"])
+            assert np.isfinite(tot), (s, losses)
+            if s % 100 == 0 or s == steps:
+                dt = (time.perf_counter() - t_start) / s
+                print(f"step {s}: loss {tot:.3f} ({dt * 1000:.0f} ms/step avg"
+                      " incl host)", flush=True)
+        if s % eval_period == 0 and s != steps:
+            epe = holdout_epe(params)
+            log["eval"].append({"step": s, "holdout_epe": round(epe, 4)})
+            print(f"step {s}: holdout EPE {epe:.3f}", flush=True)
+
+    # ---- resume equivalence: restore the mid-run checkpoint and replay ----
+    if saved is not None and resume_len > 0:
+        state, _ = restore_checkpoint(
+            ckpt_dir, {"params": params, "opt_state": opt_state, "step": 0})
+        rp = jax.device_put(state["params"], replicated(mesh))
+        ro = jax.device_put(state["opt_state"], replicated(mesh))
+        traj_replay = []
+        for s in range(saved + 1, saved + 1 + resume_len):
+            batch = shard_batch(make_batch(cfg, s), mesh)
+            rp, ro, losses = step_fn(rp, ro, batch, s)
+            traj_replay.append(float(losses["total"]))
+        exact = bool(np.array_equal(traj_live, traj_replay))
+        log["resume_equivalence"] = {
+            "saved_at": saved, "replay_steps": resume_len,
+            "live": traj_live, "replay": traj_replay, "exact": exact}
+        print(f"resume equivalence: live {traj_live} replay {traj_replay} "
+              f"exact={exact}", flush=True)
+    else:
+        exact = True
+
+    epe_final = holdout_epe(params)
+    log["eval"].append({"step": steps, "holdout_epe": round(epe_final, 4)})
+    log["passed"] = bool(epe_final < epe_thresh) and exact
+    print(f"final holdout EPE {epe_final:.3f} (thresh {epe_thresh}) "
+          f"passed={log['passed']}", flush=True)
+    with open(out_path, "w") as f:
+        json.dump(log, f, indent=2)
+    if not log["passed"]:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
