@@ -64,6 +64,13 @@ def main():
         i = argv.index("--profile-dir")
         profile_dir = argv[i + 1]
         del argv[i:i + 2]
+    repeat = 1
+    if "--repeat" in argv:
+        # time the K-frame chain N times and report mean/min/max spread on
+        # stderr (the stdout JSON line stays the driver contract: mean value)
+        i = argv.index("--repeat")
+        repeat = int(argv[i + 1])
+        del argv[i:i + 2]
     config_file = None
     if "--config-file" in argv:
         # bench an alternate variant, e.g. configs/sceneflow_swint.yaml
@@ -114,11 +121,19 @@ def main():
         # jax.profiler device trace (TensorBoard-compatible; summarize with
         # tools/profile_model.py:summarize_trace)
         jax.profiler.start_trace(profile_dir)
-    t0 = time.perf_counter()
-    float(chained(params, img1, img2))
-    ms = (time.perf_counter() - t0) / K * 1000.0
+    samples = []
+    for _ in range(repeat):
+        t0 = time.perf_counter()
+        float(chained(params, img1, img2))
+        samples.append((time.perf_counter() - t0) / K * 1000.0)
+    ms = float(np.mean(samples))
     if profile_dir:
         jax.profiler.stop_trace()
+    if repeat > 1:
+        print(f"bench.py: {repeat} chains of {K}: mean {ms:.3f} ms  "
+              f"min {min(samples):.3f}  max {max(samples):.3f}  "
+              f"samples {[round(s, 3) for s in samples]}",
+              file=sys.stderr, flush=True)
 
     variant = ""
     if config_file:

@@ -132,9 +132,12 @@ def get_cfg() -> CN:
     # bilinear sampling — measured 3.9 ms vs 17 ms per level on v5e at KITTI
     # shapes.  Exact while every learned sampling offset stays within
     # (radius - 1) level pixels (they are initialised to <= 4, reference
-    # ops/modules/ms_deform_attn.py:64-75); set 0 for the unbounded exact
-    # gather path.
-    _C.TPU.MSDA_TAP_RADIUS = 6
+    # ops/modules/ms_deform_attn.py:64-75, so 5 is the tightest exact-at-init
+    # radius: taps scale quadratically — 121 vs 169 at the old default 6);
+    # set 0 for the unbounded exact gather path.  The msda_tap_oob guard
+    # (MSDA_OOB_THRESH/MSDA_OOB_FALLBACK) monitors the precondition when
+    # training pushes offsets outward.
+    _C.TPU.MSDA_TAP_RADIUS = 5
     # Tap-exactness guard during swin training: the train step monitors the
     # sown ``msda_tap_oob`` fraction (share of sampling points whose
     # contribution the tap kernel drops); above this threshold the train

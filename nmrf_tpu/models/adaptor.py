@@ -203,8 +203,7 @@ class ConvStem(nn.Module):
         for i, stride in enumerate([2, 1, 1]):
             x = Conv(self.inplanes, (3, 3), strides=stride, padding=1,
                      use_bias=False, dtype=self.dtype, name=f"stem_{i}")(x)
-            x = jax.nn.relu(_cast(instance_norm_2d(x.astype(jnp.float32)),
-                                  self.dtype))
+            x = jax.nn.relu(_cast(instance_norm_2d(x), self.dtype))
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
         x = Conv(self.out_channels, (1, 1), dtype=self.dtype, name="fc")(x)
         B, H, W, C = x.shape

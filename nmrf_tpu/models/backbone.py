@@ -17,8 +17,9 @@ from .layers import Conv, instance_norm_2d
 
 
 def _in(x, dtype):
-    """float32 instance norm, back to compute dtype."""
-    y = instance_norm_2d(x.astype(jnp.float32))
+    """float32 instance norm, back to compute dtype (the norm upcasts
+    lazily — pre-upcasting here would materialize an f32 activation)."""
+    y = instance_norm_2d(x)
     return y.astype(dtype) if dtype is not None else y
 
 

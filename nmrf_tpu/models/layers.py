@@ -46,16 +46,28 @@ def get_activation(name: str) -> Callable:
 
 def instance_norm_2d(x, eps=1e-5):
     """Affine-free instance norm over spatial dims. x: [B, H, W, C].
+    Accepts any float dtype; moments and normalization compute in f32
+    (returns f32 — callers cast back to the compute dtype).
 
     Single-pass moments (E[x^2] - E[x]^2): mean and variance become two
     independent reductions XLA emits as ONE fusion over x, instead of the
     serialized mean -> centered-square passes of ``jnp.var`` — at 1/2-res
     backbone shapes the extra full-tensor read cost ~0.7 ms/frame per norm.
     f32 accumulation over >=10^4 spatial elements keeps cancellation error
-    well inside the torch-golden parity tolerance."""
+    well inside the torch-golden parity tolerance.
+
+    bf16 inputs must NOT be pre-upcast by the caller: a shared
+    ``x.astype(f32)`` feeding both the moments and the normalize gets
+    materialized by XLA as a full-resolution f32 copy (profiled ~0.5
+    ms/frame at the ConvStem's 1/2-res shapes).  Here each consumer upcasts
+    lazily — the reduction via its accumulation dtype, the square via a
+    single-consumer convert, the normalize via bf16-f32 promotion inside
+    its own fusion — so no f32 activation is ever materialized."""
+    f32 = jnp.float32
     n = x.shape[1] * x.shape[2]
-    s1 = x.sum(axis=(1, 2), keepdims=True)
-    s2 = (x * x).sum(axis=(1, 2), keepdims=True)
+    s1 = jnp.sum(x, axis=(1, 2), keepdims=True, dtype=f32)
+    xf = x.astype(f32)
+    s2 = jnp.sum(xf * xf, axis=(1, 2), keepdims=True)
     mean = s1 / n
     var = jnp.maximum(s2 / n - mean * mean, 0.0)
     return (x - mean) * jax.lax.rsqrt(var + eps)
@@ -178,7 +190,7 @@ class ConvINReluConv(nn.Module):
         else:
             x = Conv(self.mid_channels, (3, 3), padding=1, use_bias=False,
                      dtype=self.dtype, name="conv1")(x)
-            x = instance_norm_2d(x.astype(jnp.float32))
+            x = instance_norm_2d(x)  # lazy f32 upcast (see its docstring)
         if self.dtype is not None:
             x = x.astype(self.dtype)
         x = jax.nn.relu(x)

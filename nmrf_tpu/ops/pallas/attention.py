@@ -53,8 +53,11 @@ _F32 = dict(preferred_element_type=jnp.float32)
 
 def _masked_attention_kernel(q_ref, k_ref, v_ref, mask_ref, out_ref, *,
                              scale):
-    q = q_ref[0, 0].astype(jnp.float32) * scale          # [R, hd]
-    k = k_ref[0, 0].astype(jnp.float32)
+    # f32 inputs keep f32 dot inputs (parity contract); bf16 inputs stay
+    # bf16 into the MXU (single pass) with f32 accumulation
+    cd = jnp.float32 if q_ref.dtype == jnp.float32 else q_ref.dtype
+    q = q_ref[0, 0].astype(cd) * scale                   # [R, hd]
+    k = k_ref[0, 0].astype(cd)
     v = v_ref[0, 0]
     logits = lax.dot_general(q, k, (((1,), (1,)), ((), ())), **_F32)
     logits = logits + mask_ref[0]
@@ -202,54 +205,58 @@ def hd_group_selectors(P, hd):
     return t_tile, s_red, t_grp, s_ch            # [hd,PH] [PH,P] [P,PH] [PH,hd]
 
 
-def _window_native_kernel(shift_ref, q_ref, k_ref, v_ref, ke_ref, qe_ref,
-                          ve_ref, selq_ref, selst_ref, ttile_ref, sred_ref,
-                          tgrp_ref, sch_ref, mask_ref, out_ref, *, scale, wh,
-                          ww, WB, N, Hp, Wp, neg, exact, direct=False):
-    # Hp is the GLOBAL padded height; under H-sharding (shard_map) each tile
-    # passes its global row offset in shift_ref[1] so the shifted-region
-    # mask is evaluated in global coordinates (VERDICT r2 item 2).
-    # direct: q/k/v blocks arrive in the natural [1, wh, WB*ww*N, hd] image
-    # layout (BlockSpec-addressed packing — no caller transpose); the
-    # row-major (lr, wx, n) order IS the kernel token order, so a leading
-    # -dim collapse reshape restores [R, hd].
-    # exact: f32 inputs demand HIGHEST (multi-pass) MXU precision to match
-    # the XLA reference bit-for-bit-ish; bf16 inputs take the fast path
-    _P = dict(_F32, precision=lax.Precision.HIGHEST) if exact else _F32
-    f32 = jnp.float32
-    q = q_ref[0, 0, 0].astype(f32) * scale                # [R, hd]
-    k = k_ref[0, 0, 0].astype(f32)
-    v = v_ref[0, 0, 0]
+def _attend_head(q, k, v, ke, qe, ve, selq, selst, ttile, sred, tgrp, sch,
+                 cellmask, scale, _P, cd):
+    """One head's windowed attention on [R, hd] tokens.
+
+    cellmask: [R, R] f32 — candidate/cross-window base mask plus this grid
+    cell's shifted-region mask, already summed.  Returns [R, hd] f32.
+    """
+    q = q.astype(cd) * scale
+    k = k.astype(cd)
     logits = lax.dot_general(q, k, (((1,), (1,)), ((), ())), **_P)
-    ttile = ttile_ref[:]
-    sred = sred_ref[:]
     # qr[i, s] = q_i . k_embed[pixel(i), s]; spread over key tokens j by
     # pixel(j) with the constant selector matmul
     qtile = lax.dot_general(q, ttile, (((1,), (0,)), ((), ())), **_P)
-    qr = lax.dot_general(ke_ref[0].astype(f32) * qtile, sred,
+    qr = lax.dot_general(ke.astype(cd) * qtile.astype(cd), sred,
                          (((1,), (0,)), ((), ())), **_P)   # [R, P]
     logits = logits + lax.dot_general(
-        qr, selst_ref[:], (((1,), (0,)), ((), ())), **_P)
+        qr, selst, (((1,), (0,)), ((), ())), **_P)
     # kr[j, p] = k_j . (q_embed[p, pixel(j)] * scale)
     ktile = lax.dot_general(k, ttile, (((1,), (0,)), ((), ())), **_P)
-    kr = lax.dot_general(qe_ref[0].astype(f32) * ktile, sred,
+    kr = lax.dot_general(qe.astype(cd) * ktile.astype(cd), sred,
                          (((1,), (0,)), ((), ())), **_P)   # [R, P]
     logits = logits + lax.dot_general(
-        selq_ref[:], kr, (((1,), (1,)), ((), ())), **_P)
+        selq, kr, (((1,), (1,)), ((), ())), **_P)
 
-    # candidate / cross-window base mask: a constant input block, fetched
-    # once ever (reference gen_window_attn_mask, NMP.py:195-208)
-    logits = logits + mask_ref[:]
-    # shifted-window region mask, evaluated on the rolled image: region
-    # boundaries at {Hp-wh, Hp-shift} on y and {Wp-ww, Wp-shift} on x
-    # (reference gen_shift_window_attn_mask, NMP.py:210-239); token
-    # coordinates derive from iota: i = (lr * WB*ww + wx) * N + n
-    s = shift_ref[0]
-    row0 = shift_ref[1]
-    gh = pl.program_id(2)
-    gw = pl.program_id(3)
+    logits = logits + cellmask
+    mx = jnp.max(logits, axis=-1, keepdims=True)
+    e = jnp.exp(logits - mx)
+    attn = e / jnp.sum(e, axis=-1, keepdims=True)
+    out = lax.dot_general(attn.astype(v.dtype), v,
+                          (((1,), (0,)), ((), ())), **_P)
+    # value-table term: attention mass per key pixel, tiled over channels,
+    # then reduced per channel — all constant selector matmuls
+    attn_s = lax.dot_general(attn, selq,
+                             (((1,), (0,)), ((), ())), **_P)  # [R, P]
+    atile = lax.dot_general(attn_s.astype(cd), tgrp.astype(cd),
+                            (((1,), (0,)), ((), ())), **_P)   # [R, P*hd]
+    out = out + lax.dot_general(
+        ve.astype(cd) * atile.astype(cd), sch.astype(cd),
+        (((1,), (0,)), ((), ())), **_P)
+    return out
+
+
+def _shifted_region_mask(s, row0, gh, gw, R, wh, ww, WB, N, Hp, Wp, neg):
+    """Shifted-window region mask of one grid cell, from iota coordinates.
+
+    Region boundaries on the rolled image sit at {Hp-wh, Hp-shift} on y and
+    {Wp-ww, Wp-shift} on x (reference gen_shift_window_attn_mask,
+    NMP.py:210-239); token i = (lr * WB*ww + wx) * N + n.  Hp is the GLOBAL
+    padded height; under H-sharding each tile passes its global row offset
+    ``row0`` so y is evaluated in global coordinates (VERDICT r2 item 2).
+    """
     WBww = WB * ww
-    R = logits.shape[0]
 
     def region(i):
         lr = i // (WBww * N)
@@ -263,27 +270,79 @@ def _window_native_kernel(shift_ref, q_ref, k_ref, v_ref, ke_ref, qe_ref,
     reg_c = region(lax.broadcasted_iota(jnp.int32, (R, 1), 0))
     reg_r = region(lax.broadcasted_iota(jnp.int32, (1, R), 1))
     shifted = (s > 0) & (reg_c != reg_r)
-    logits = logits + jnp.where(shifted, neg, 0.0)
+    return jnp.where(shifted, neg, 0.0)
 
-    mx = jnp.max(logits, axis=-1, keepdims=True)
-    e = jnp.exp(logits - mx)
-    attn = e / jnp.sum(e, axis=-1, keepdims=True)
-    out = lax.dot_general(attn.astype(v.dtype), v,
-                          (((1,), (0,)), ((), ())), **_P)
-    # value-table term: attention mass per key pixel, tiled over channels,
-    # then reduced per channel — all constant selector matmuls
-    attn_s = lax.dot_general(attn, selq_ref[:],
-                             (((1,), (0,)), ((), ())), **_P)  # [R, P]
-    atile = lax.dot_general(attn_s, tgrp_ref[:],
-                            (((1,), (0,)), ((), ())), **_P)   # [R, P*hd]
-    out = out + lax.dot_general(ve_ref[0].astype(f32) * atile, sch_ref[:],
-                                (((1,), (0,)), ((), ())), **_P)
+
+def _window_native_kernel(shift_ref, q_ref, k_ref, v_ref, ke_ref, qe_ref,
+                          ve_ref, selq_ref, selst_ref, ttile_ref, sred_ref,
+                          tgrp_ref, sch_ref, mask_ref, out_ref, *, scale, wh,
+                          ww, WB, N, Hp, Wp, neg, exact):
+    # exact: f32 inputs demand HIGHEST (multi-pass) MXU precision to match
+    # the XLA reference bit-for-bit-ish; bf16 inputs keep the dots in native
+    # bf16 (single MXU pass, f32 accumulate via preferred_element_type).
+    _P = dict(_F32, precision=lax.Precision.HIGHEST) if exact else _F32
+    cd = jnp.float32 if exact else q_ref.dtype  # dot-input compute dtype
+    q = q_ref[0, 0, 0]                                   # [R, hd]
+    k = k_ref[0, 0, 0]
+    v = v_ref[0, 0, 0]
+    R = q.shape[0]
+    # candidate / cross-window base mask (a constant input block, fetched
+    # once ever — reference gen_window_attn_mask, NMP.py:195-208) + this
+    # cell's shifted-region mask
+    cellmask = mask_ref[:] + _shifted_region_mask(
+        shift_ref[0], shift_ref[1], pl.program_id(2), pl.program_id(3),
+        R, wh, ww, WB, N, Hp, Wp, neg)
+    ttile = ttile_ref[:].astype(cd)   # 0/1 selectors: exact in bf16
+    sred = sred_ref[:].astype(cd)
+    out = _attend_head(q, k, v, ke_ref[0], qe_ref[0], ve_ref[0],
+                       selq_ref[:], selst_ref[:], ttile, sred,
+                       tgrp_ref[:], sch_ref[:], cellmask, scale, _P, cd)
     out_ref[0, 0, 0] = out.astype(out_ref.dtype)
+
+
+def _window_native_kernel_direct(shift_ref, x_ref, ke_ref, qe_ref,
+                                 ve_ref, selq_ref, selst_ref, ttile_ref,
+                                 sred_ref, tgrp_ref, sch_ref, mask_ref,
+                                 out_ref, *, scale, wh, ww, WB, N, Hp, Wp,
+                                 neg, exact, num_heads, hd):
+    """Direct-packing variant: the qkv block arrives in the natural
+    [wh, WB*ww*N, 3C] image layout (BlockSpec-addressed packing — no caller
+    transpose; contiguous 3C-lane DMA runs), the row-major (lr, wx, n)
+    order IS the kernel token order (leading-dim collapse restores
+    [R, 3C]), heads are unrolled in-kernel via static hd-lane slices, and
+    the output is written back in image layout."""
+    _P = dict(_F32, precision=lax.Precision.HIGHEST) if exact else _F32
+    cd = jnp.float32 if exact else x_ref.dtype
+    h = num_heads
+    x = x_ref[0, 0, :, 0]                           # [wh, WBww*N, 3C]
+    R = wh * x.shape[1]
+    x2 = x.reshape(R, 3 * h * hd)
+    cellmask = mask_ref[:] + _shifted_region_mask(
+        shift_ref[0], shift_ref[1], pl.program_id(1), pl.program_id(2),
+        R, wh, ww, WB, N, Hp, Wp, neg)
+    ttile = ttile_ref[:].astype(cd)
+    sred = sred_ref[:].astype(cd)
+    selq = selq_ref[:]
+    selst = selst_ref[:]
+    tgrp = tgrp_ref[:]
+    sch = sch_ref[:]
+    outs = []
+    for i in range(h):                  # channel order (component, head, hd)
+        q = x2[:, i * hd:(i + 1) * hd]
+        k = x2[:, (h + i) * hd:(h + i + 1) * hd]
+        v = x2[:, (2 * h + i) * hd:(2 * h + i + 1) * hd]
+        outs.append(_attend_head(
+            q, k, v, ke_ref[i], qe_ref[i], ve_ref[i], selq, selst,
+            ttile, sred, tgrp, sch, cellmask, scale, _P, cd))
+    out = jnp.concatenate(outs, axis=-1)            # [R, h*hd]
+    out_ref[0, 0, :, 0] = out.reshape(wh, x.shape[1], h * hd).astype(
+        out_ref.dtype)
 
 
 def window_attention_native(qkv, ke_flat, qe_flat, ve_flat, shift,
                             scale, wh, ww, WB, num_heads, candidate_mask,
-                            neg=-1e9, interpret=None, row0=0, hp_total=None):
+                            neg=-1e9, interpret=None, row0=0, hp_total=None,
+                            direct=True):
     """Fused windowed NMP attention with in-kernel masks and VMEM-resident
     positional tables.
 
@@ -318,30 +377,7 @@ def window_attention_native(qkv, ke_flat, qe_flat, ve_flat, shift,
     nwwB = Wp // WBww
     G = B * nwh * nwwB
 
-    # token packing (one fused XLA transpose — the same cost the module
-    # path pays for its window partition); the kernel reads full-dim blocks
-    x = qkv.reshape(B, nwh, wh, nwwB, WBww, N, 3, h, hd)
-    x = x.transpose(6, 7, 0, 1, 3, 2, 4, 5, 8)
-    x = x.reshape(3, h, G, R, hd)
-
-    def comp_spec(comp):
-        return pl.BlockSpec(
-            (1, 1, 1, R, hd),
-            lambda b, i, gh, gw, comp=comp:
-            (comp, i, (b * nwh + gh) * nwwB + gw, 0, 0),
-            memory_space=pltpu.VMEM)
-
     PH = P * hd
-    tbl = pl.BlockSpec((1, R, PH), lambda b, i, gh, gw: (i, 0, 0),
-                       memory_space=pltpu.VMEM)
-    cst = lambda shape: pl.BlockSpec(  # noqa: E731
-        shape, lambda b, i, gh, gw: tuple(0 for _ in shape),
-        memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec(
-        (1, 1, 1, R, hd),
-        lambda b, i, gh, gw: (i, 0, (b * nwh + gh) * nwwB + gw, 0, 0),
-        memory_space=pltpu.VMEM)
-
     t_tile, s_red, t_grp, s_ch = hd_group_selectors(P, hd)
     meta, sel = window_meta(wh, ww, WB, N)
     pix, win = meta[:, 0], meta[:, 1]
@@ -353,6 +389,73 @@ def window_attention_native(qkv, ke_flat, qe_flat, ve_flat, shift,
         basemask = basemask + np.where(same_pix, neg, 0.0)
     shift_arr = jnp.stack([jnp.asarray(shift, jnp.int32).reshape(()),
                            jnp.asarray(row0, jnp.int32).reshape(())])
+    consts = (jnp.asarray(sel), jnp.asarray(np.ascontiguousarray(sel.T)),
+              jnp.asarray(t_tile), jnp.asarray(s_red), jnp.asarray(t_grp),
+              jnp.asarray(s_ch), jnp.asarray(basemask.astype(np.float32)))
+
+    if direct:
+        # Direct-packing path (default): no host-side qkv transpose at all.
+        # [B, Hp, Wp, N, 3C] -> [B, nwh, wh, nwwB, WBww*N, 3C] is a pure
+        # adjacent-dim split/merge (free bitcast); the qkv block DMA runs
+        # are whole 3C-lane rows (contiguous), heads unroll in-kernel, and
+        # the output returns in image layout (another free reshape).  The
+        # transposed path below cost ~3.8 ms/frame at KITTI shapes across
+        # the NMP stages (profiled reshape/copy ops, 2026-08-19).
+        x = qkv.reshape(B, nwh, wh, nwwB, WBww * N, C3)
+        tbl = pl.BlockSpec((h, R, PH), lambda b, gh, gw: (0, 0, 0),
+                           memory_space=pltpu.VMEM)
+        cst = lambda shape: pl.BlockSpec(  # noqa: E731
+            shape, lambda b, gh, gw: tuple(0 for _ in shape),
+            memory_space=pltpu.VMEM)
+        kernel = functools.partial(
+            _window_native_kernel_direct, scale=scale, wh=wh, ww=ww, WB=WB,
+            N=N, Hp=hp_total, Wp=Wp, neg=neg,
+            exact=qkv.dtype == jnp.float32, num_heads=h, hd=hd)
+        out = pl.pallas_call(
+            kernel,
+            grid=(B, nwh, nwwB),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, wh, 1, WBww * N, C3),
+                             lambda b, gh, gw: (b, gh, 0, gw, 0, 0),
+                             memory_space=pltpu.VMEM),
+                tbl, tbl, tbl,
+                cst((R, P)), cst((P, R)),
+                cst((hd, PH)), cst((PH, P)), cst((P, PH)), cst((PH, hd)),
+                cst((R, R)),
+            ],
+            out_specs=pl.BlockSpec((1, 1, wh, 1, WBww * N, h * hd),
+                                   lambda b, gh, gw: (b, gh, 0, gw, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct(
+                (B, nwh, wh, nwwB, WBww * N, h * hd), qkv.dtype),
+            interpret=interpret,
+        )(shift_arr, x, ke_flat, qe_flat, ve_flat, *consts)
+        return out.reshape(B, Hp, Wp, N, h * hd)
+
+    # transposed path (A/B reference): one fused XLA transpose packs tokens
+    # to [3, h, G, R, hd]; the kernel reads full-dim per-head blocks
+    x = qkv.reshape(B, nwh, wh, nwwB, WBww, N, 3, h, hd)
+    x = x.transpose(6, 7, 0, 1, 3, 2, 4, 5, 8)
+    x = x.reshape(3, h, G, R, hd)
+
+    def comp_spec(comp):
+        return pl.BlockSpec(
+            (1, 1, 1, R, hd),
+            lambda b, i, gh, gw, comp=comp:
+            (comp, i, (b * nwh + gh) * nwwB + gw, 0, 0),
+            memory_space=pltpu.VMEM)
+
+    tbl = pl.BlockSpec((1, R, PH), lambda b, i, gh, gw: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    cst = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda b, i, gh, gw: tuple(0 for _ in shape),
+        memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec(
+        (1, 1, 1, R, hd),
+        lambda b, i, gh, gw: (i, 0, (b * nwh + gh) * nwwB + gw, 0, 0),
+        memory_space=pltpu.VMEM)
+
     kernel = functools.partial(
         _window_native_kernel, scale=scale, wh=wh, ww=ww, WB=WB, N=N,
         Hp=hp_total, Wp=Wp, neg=neg, exact=qkv.dtype == jnp.float32)
@@ -370,10 +473,7 @@ def window_attention_native(qkv, ke_flat, qe_flat, ve_flat, shift,
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((h, 1, G, R, hd), qkv.dtype),
         interpret=interpret,
-    )(shift_arr, x, x, x, ke_flat, qe_flat, ve_flat,
-      jnp.asarray(sel), jnp.asarray(np.ascontiguousarray(sel.T)),
-      jnp.asarray(t_tile), jnp.asarray(s_red), jnp.asarray(t_grp),
-      jnp.asarray(s_ch), jnp.asarray(basemask.astype(np.float32)))
+    )(shift_arr, x, x, x, ke_flat, qe_flat, ve_flat, *consts)
 
     out = out.reshape(h, B, nwh, nwwB, wh, WBww, N, hd)
     out = out.transpose(1, 2, 4, 3, 5, 6, 0, 7)

@@ -175,8 +175,11 @@ class TestWindowNative:
         from nmrf_tpu.models.nmp import _relative_position_index  # noqa: F401
         meta, sel, ke, qe, ve = self._tables(table, ws, heads, hd, WB, N,
                                              scale)
+        # eps=1e-2: the central-difference noise floor is |f|*2^-24/(2*eps)
+        # with |f| ~ 2e2 here, i.e. ~6e-3 at eps=1e-3 — above atol.  1e-2 is
+        # near the f32 optimum (f32_eps^(1/3)) and drops the noise to ~6e-4.
         check_grads(
             lambda qkv, ke, qe, ve: jnp.sum(fa.window_attention_native_op(
                 qkv, ke, qe, ve, 2, 0, scale, ws, ws, WB, heads,
                 False) ** 2),
-            (qkv, ke, qe, ve), atol=5e-3, rtol=5e-3)
+            (qkv, ke, qe, ve), eps=1e-2, atol=5e-3, rtol=5e-3)
