@@ -256,13 +256,15 @@ class WindowAttention(nn.Module):
             meta, sel = window_meta(wh, ww, WB, N)
             pixs = meta[:, 0]
             R = len(pixs)
-            # flattened token-expanded positional tables [h, R, P*hd]
+            # flattened token-expanded positional tables: ke/qe (s, c)
+            # lane order [h, R, P*hd]; ve CHANNEL-major (c, s) [h, R, hd*P]
+            # (matches the kernel's pltpu.repeat lane expansions)
             ke_flat = k_embed.transpose(2, 0, 1, 3)[:, pixs].reshape(
                 h, R, P * hd)
             qe_flat = (q_embed * scale).transpose(2, 1, 0, 3)[:, pixs].reshape(
                 h, R, P * hd)
-            ve_flat = v_embed.transpose(2, 0, 1, 3)[:, pixs].reshape(
-                h, R, P * hd)
+            ve_flat = v_embed.transpose(2, 0, 3, 1)[:, pixs].reshape(
+                h, R, hd * P)
             if self.spatial_axis is not None:
                 # H-sharded under shard_map: the kernel evaluates the
                 # shifted-region mask in GLOBAL coordinates — this tile's

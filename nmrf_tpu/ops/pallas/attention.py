@@ -154,12 +154,13 @@ masked_attention_op.defvjp(_ma_fwd, _ma_bwd)
 # passed flattened as [h, R, P*hd] blocks whose index map depends only on
 # the head — Mosaic fetches them once per head and keeps them VMEM-resident
 # across all window groups.  The per-(R, P, hd) contractions are expressed
-# as constant 0/1 selector matmuls (2-D dots only — Mosaic-safe):
+# as lane tilings (``pltpu.repeat`` — pure VPU data movement) followed by
+# constant 0/1 reduction matmuls (2-D dots only — Mosaic-safe):
 #
-#   qtile = q @ T_tile            T_tile[c, s*hd+c'] = (c == c')   [R, P*hd]
-#   qr    = (ke ⊙ qtile) @ S_red  S_red[s*hd+c, s']  = (s == s')   [R, P]
-#   atile = attn_s @ T_grp        T_grp[s, s'*hd+c]  = (s == s')   [R, P*hd]
-#   vterm = (ve ⊙ atile) @ S_ch   S_ch[s*hd+c, c']   = (c == c')   [R, hd]
+#   qtile = repeat(q, P)          (s, c) lane expansion               [R, P*hd]
+#   qr    = (ke ⊙ qtile) @ S_red  S_red[s*hd+c, s']  = (s == s')      [R, P]
+#   atile = repeat(attn_s, hd)    (c, s) lane expansion (ve c-major)  [R, hd*P]
+#   vterm = (ve_c ⊙ atile) @ S_ch_c  S_ch_c[c*P+s, c'] = (c == c')    [R, hd]
 
 def window_meta(wh, ww, WB, N):
     """Constants for the window-native token order.
@@ -194,37 +195,48 @@ def choose_column_block(nww, T, target=512):
 
 
 def hd_group_selectors(P, hd):
-    """Constant 0/1 matrices for per-(pixel, channel) lane-group algebra on
-    flattened [*, P*hd] tables (see section comment)."""
+    """Constant 0/1 matrices for per-(pixel, channel) lane-group algebra.
+
+    s_red reduces an (s, c) lane-flattened [*, P*hd] product over c per
+    pixel group; s_ch_c reduces a CHANNEL-major (c, s) flattened [*, hd*P]
+    product over s per channel.  (The former qtile/ktile/atile tiling
+    selectors are gone — ``pltpu.repeat`` builds those lane expansions
+    directly, see ``_attend_head``.)"""
     s_ids = np.repeat(np.arange(P), hd)          # [P*hd] pixel of each lane
-    c_ids = np.tile(np.arange(hd), P)            # [P*hd] channel of each lane
-    t_tile = (np.arange(hd)[:, None] == c_ids[None, :]).astype(np.float32)
+    c_ids_c = np.repeat(np.arange(hd), P)        # [hd*P] channel, c-major
     s_red = (s_ids[:, None] == np.arange(P)[None, :]).astype(np.float32)
-    t_grp = (np.arange(P)[:, None] == s_ids[None, :]).astype(np.float32)
-    s_ch = (c_ids[:, None] == np.arange(hd)[None, :]).astype(np.float32)
-    return t_tile, s_red, t_grp, s_ch            # [hd,PH] [PH,P] [P,PH] [PH,hd]
+    s_ch_c = (c_ids_c[:, None] == np.arange(hd)[None, :]).astype(np.float32)
+    return s_red, s_ch_c                         # [PH, P], [PH, hd]
 
 
-def _attend_head(q, k, v, ke, qe, ve, selq, selst, ttile, sred, tgrp, sch,
-                 cellmask, scale, _P, cd):
+def _attend_head(q, k, v, ke, qe, ve_c, selq, selst, sred, sch_c,
+                 cellmask, scale, _P, cd, P, hd):
     """One head's windowed attention on [R, hd] tokens.
 
     cellmask: [R, R] f32 — candidate/cross-window base mask plus this grid
-    cell's shifted-region mask, already summed.  Returns [R, hd] f32.
+    cell's shifted-region mask, already summed.  ke/qe are (s, c) lane-
+    flattened [R, P*hd]; ve_c is CHANNEL-major [R, hd*P].  Returns [R, hd].
+
+    The lane tilings that earlier used constant selector matmuls (qtile/
+    ktile/atile) are pure data movement — ``pltpu.repeat`` builds them
+    directly on the VPU: tile(q, P) is exactly the (s, c) lane expansion
+    and tile(attn_s, hd) exactly the (c, s) one, which is why the value
+    table is packed channel-major.  That removes the three worst dots of
+    the kernel (K = hd or K = P, 4x MXU pad at production shapes).
     """
     q = q.astype(cd) * scale
     k = k.astype(cd)
     logits = lax.dot_general(q, k, (((1,), (1,)), ((), ())), **_P)
     # qr[i, s] = q_i . k_embed[pixel(i), s]; spread over key tokens j by
     # pixel(j) with the constant selector matmul
-    qtile = lax.dot_general(q, ttile, (((1,), (0,)), ((), ())), **_P)
-    qr = lax.dot_general(ke.astype(cd) * qtile.astype(cd), sred,
+    qtile = pltpu.repeat(q, P, 1)                          # [R, P*hd]
+    qr = lax.dot_general(ke.astype(cd) * qtile, sred,
                          (((1,), (0,)), ((), ())), **_P)   # [R, P]
     logits = logits + lax.dot_general(
         qr, selst, (((1,), (0,)), ((), ())), **_P)
     # kr[j, p] = k_j . (q_embed[p, pixel(j)] * scale)
-    ktile = lax.dot_general(k, ttile, (((1,), (0,)), ((), ())), **_P)
-    kr = lax.dot_general(qe.astype(cd) * ktile.astype(cd), sred,
+    ktile = pltpu.repeat(k, P, 1)
+    kr = lax.dot_general(qe.astype(cd) * ktile, sred,
                          (((1,), (0,)), ((), ())), **_P)   # [R, P]
     logits = logits + lax.dot_general(
         selq, kr, (((1,), (1,)), ((), ())), **_P)
@@ -235,14 +247,13 @@ def _attend_head(q, k, v, ke, qe, ve, selq, selst, ttile, sred, tgrp, sch,
     attn = e / jnp.sum(e, axis=-1, keepdims=True)
     out = lax.dot_general(attn.astype(v.dtype), v,
                           (((1,), (0,)), ((), ())), **_P)
-    # value-table term: attention mass per key pixel, tiled over channels,
-    # then reduced per channel — all constant selector matmuls
+    # value-table term: attention mass per key pixel, channel-tiled, then
+    # reduced per channel over the P lane groups
     attn_s = lax.dot_general(attn, selq,
                              (((1,), (0,)), ((), ())), **_P)  # [R, P]
-    atile = lax.dot_general(attn_s.astype(cd), tgrp.astype(cd),
-                            (((1,), (0,)), ((), ())), **_P)   # [R, P*hd]
+    atile = pltpu.repeat(attn_s.astype(cd), hd, 1)            # [R, hd*P]
     out = out + lax.dot_general(
-        ve.astype(cd) * atile.astype(cd), sch.astype(cd),
+        ve_c.astype(cd) * atile, sch_c.astype(cd),
         (((1,), (0,)), ((), ())), **_P)
     return out
 
@@ -274,8 +285,8 @@ def _shifted_region_mask(s, row0, gh, gw, R, wh, ww, WB, N, Hp, Wp, neg):
 
 
 def _window_native_kernel(shift_ref, q_ref, k_ref, v_ref, ke_ref, qe_ref,
-                          ve_ref, selq_ref, selst_ref, ttile_ref, sred_ref,
-                          tgrp_ref, sch_ref, mask_ref, out_ref, *, scale, wh,
+                          ve_ref, selq_ref, selst_ref, sred_ref,
+                          sch_ref, mask_ref, out_ref, *, scale, wh,
                           ww, WB, N, Hp, Wp, neg, exact):
     # exact: f32 inputs demand HIGHEST (multi-pass) MXU precision to match
     # the XLA reference bit-for-bit-ish; bf16 inputs keep the dots in native
@@ -285,24 +296,24 @@ def _window_native_kernel(shift_ref, q_ref, k_ref, v_ref, ke_ref, qe_ref,
     q = q_ref[0, 0, 0]                                   # [R, hd]
     k = k_ref[0, 0, 0]
     v = v_ref[0, 0, 0]
-    R = q.shape[0]
+    R, hd = q.shape
+    P = wh * ww
     # candidate / cross-window base mask (a constant input block, fetched
     # once ever — reference gen_window_attn_mask, NMP.py:195-208) + this
     # cell's shifted-region mask
     cellmask = mask_ref[:] + _shifted_region_mask(
         shift_ref[0], shift_ref[1], pl.program_id(2), pl.program_id(3),
         R, wh, ww, WB, N, Hp, Wp, neg)
-    ttile = ttile_ref[:].astype(cd)   # 0/1 selectors: exact in bf16
-    sred = sred_ref[:].astype(cd)
+    sred = sred_ref[:].astype(cd)   # 0/1 selectors: exact in bf16
     out = _attend_head(q, k, v, ke_ref[0], qe_ref[0], ve_ref[0],
-                       selq_ref[:], selst_ref[:], ttile, sred,
-                       tgrp_ref[:], sch_ref[:], cellmask, scale, _P, cd)
+                       selq_ref[:], selst_ref[:], sred,
+                       sch_ref[:], cellmask, scale, _P, cd, P, hd)
     out_ref[0, 0, 0] = out.astype(out_ref.dtype)
 
 
 def _window_native_kernel_direct(shift_ref, x_ref, ke_ref, qe_ref,
-                                 ve_ref, selq_ref, selst_ref, ttile_ref,
-                                 sred_ref, tgrp_ref, sch_ref, mask_ref,
+                                 ve_ref, selq_ref, selst_ref,
+                                 sred_ref, sch_ref, mask_ref,
                                  out_ref, *, scale, wh, ww, WB, N, Hp, Wp,
                                  neg, exact, num_heads, hd):
     """Direct-packing variant: the qkv block arrives in the natural
@@ -320,12 +331,11 @@ def _window_native_kernel_direct(shift_ref, x_ref, ke_ref, qe_ref,
     cellmask = mask_ref[:] + _shifted_region_mask(
         shift_ref[0], shift_ref[1], pl.program_id(1), pl.program_id(2),
         R, wh, ww, WB, N, Hp, Wp, neg)
-    ttile = ttile_ref[:].astype(cd)
     sred = sred_ref[:].astype(cd)
     selq = selq_ref[:]
     selst = selst_ref[:]
-    tgrp = tgrp_ref[:]
     sch = sch_ref[:]
+    P = wh * ww
     outs = []
     for i in range(h):                  # channel order (component, head, hd)
         q = x2[:, i * hd:(i + 1) * hd]
@@ -333,7 +343,7 @@ def _window_native_kernel_direct(shift_ref, x_ref, ke_ref, qe_ref,
         v = x2[:, (2 * h + i) * hd:(2 * h + i + 1) * hd]
         outs.append(_attend_head(
             q, k, v, ke_ref[i], qe_ref[i], ve_ref[i], selq, selst,
-            ttile, sred, tgrp, sch, cellmask, scale, _P, cd))
+            sred, sch, cellmask, scale, _P, cd, P, hd))
     out = jnp.concatenate(outs, axis=-1)            # [R, h*hd]
     out_ref[0, 0, :, 0] = out.reshape(wh, x.shape[1], h * hd).astype(
         out_ref.dtype)
@@ -353,7 +363,9 @@ def window_attention_native(qkv, ke_flat, qe_flat, ve_flat, shift,
         (s, channel) lanes.
       qe_flat: [h, R, P*hd] ``q_embed[p, pixel(j), head] * scale`` with p on
         the P lane-group axis.
-      ve_flat: [h, R, P*hd] ``v_embed[pixel(i), s, head]``.
+      ve_flat: [h, R, hd*P] ``v_embed[pixel(i), s, head]`` CHANNEL-major
+        ((c, s) lane order — ``pltpu.repeat(attn_s, hd)`` is exactly this
+        expansion, see ``_attend_head``).
       shift: int32 scalar (traced ok) — shifted-window shift of this layer.
       candidate_mask: block different candidates of the same pixel
         (Inference stage; Refinement passes False).
@@ -378,7 +390,7 @@ def window_attention_native(qkv, ke_flat, qe_flat, ve_flat, shift,
     G = B * nwh * nwwB
 
     PH = P * hd
-    t_tile, s_red, t_grp, s_ch = hd_group_selectors(P, hd)
+    s_red, s_ch_c = hd_group_selectors(P, hd)
     meta, sel = window_meta(wh, ww, WB, N)
     pix, win = meta[:, 0], meta[:, 1]
     basemask = np.where(win[:, None] != win[None, :], neg, 0.0)
@@ -390,8 +402,8 @@ def window_attention_native(qkv, ke_flat, qe_flat, ve_flat, shift,
     shift_arr = jnp.stack([jnp.asarray(shift, jnp.int32).reshape(()),
                            jnp.asarray(row0, jnp.int32).reshape(())])
     consts = (jnp.asarray(sel), jnp.asarray(np.ascontiguousarray(sel.T)),
-              jnp.asarray(t_tile), jnp.asarray(s_red), jnp.asarray(t_grp),
-              jnp.asarray(s_ch), jnp.asarray(basemask.astype(np.float32)))
+              jnp.asarray(s_red), jnp.asarray(s_ch_c),
+              jnp.asarray(basemask.astype(np.float32)))
 
     if direct:
         # Direct-packing path (default): no host-side qkv transpose at all.
@@ -421,7 +433,7 @@ def window_attention_native(qkv, ke_flat, qe_flat, ve_flat, shift,
                              memory_space=pltpu.VMEM),
                 tbl, tbl, tbl,
                 cst((R, P)), cst((P, R)),
-                cst((hd, PH)), cst((PH, P)), cst((P, PH)), cst((PH, hd)),
+                cst((PH, P)), cst((PH, hd)),
                 cst((R, R)),
             ],
             out_specs=pl.BlockSpec((1, 1, wh, 1, WBww * N, h * hd),
@@ -467,7 +479,7 @@ def window_attention_native(qkv, ke_flat, qe_flat, ve_flat, shift,
             comp_spec(0), comp_spec(1), comp_spec(2),
             tbl, tbl, tbl,
             cst((R, P)), cst((P, R)),
-            cst((hd, PH)), cst((PH, P)), cst((P, PH)), cst((PH, hd)),
+            cst((PH, P)), cst((PH, hd)),
             cst((R, R)),
         ],
         out_specs=out_spec,
@@ -510,7 +522,7 @@ def window_attention_native_reference(qkv, ke_flat, qe_flat, ve_flat, shift,
                         preferred_element_type=f32)
     ke = ke_flat.reshape(h, R, P, hd).astype(f32)
     qe = qe_flat.reshape(h, R, P, hd).astype(f32)
-    ve = ve_flat.reshape(h, R, P, hd).astype(f32)
+    ve = ve_flat.reshape(h, R, hd, P).astype(f32)  # channel-major
     qr = jnp.einsum("hgic,hisc->hgis", q, ke)
     logits = logits + jnp.einsum("hgis,js->hgij", qr, jnp.asarray(sel))
     kr = jnp.einsum("hgjc,hjpc->hgjp", k, qe)
@@ -548,7 +560,7 @@ def window_attention_native_reference(qkv, ke_flat, qe_flat, ve_flat, shift,
     out = jnp.einsum("hgij,hgjc->hgic", attn.astype(v.dtype), v,
                      preferred_element_type=f32)
     attn_s = jnp.einsum("hgij,js->hgis", attn, jnp.asarray(sel))
-    out = out + jnp.einsum("hgis,hisc->hgic", attn_s, ve)
+    out = out + jnp.einsum("hgis,hics->hgic", attn_s, ve)
     out = out.astype(qkv.dtype)
     out = out.reshape(h, B, nwh, nwwB, wh, WBww, N, hd)
     out = out.transpose(1, 2, 4, 3, 5, 6, 0, 7)

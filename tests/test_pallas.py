@@ -128,7 +128,8 @@ class TestWindowNative:
         R = len(pixs)
         ke = k_e.transpose(2, 0, 1, 3)[:, pixs].reshape(heads, R, -1)
         qe = (q_e * scale).transpose(2, 1, 0, 3)[:, pixs].reshape(heads, R, -1)
-        ve = v_e.transpose(2, 0, 1, 3)[:, pixs].reshape(heads, R, -1)
+        # ve is CHANNEL-major (c, s) — see window_attention_native docstring
+        ve = v_e.transpose(2, 0, 3, 1)[:, pixs].reshape(heads, R, -1)
         return meta, sel, ke, qe, ve
 
     @pytest.mark.parametrize("shift", [0, 2])

@@ -44,7 +44,8 @@ for tag, (wh, ww, N, heads, hd, Hp, Wp, cand) in CASES.items():
     ke_flat = tabs[0][:, pixs].reshape(heads, R, -1)
     qe_flat = (tabs[1] * scale).transpose(0, 2, 1, 3)[:, pixs].reshape(
         heads, R, -1)
-    ve_flat = tabs[2][:, pixs].reshape(heads, R, -1)
+    # ve is CHANNEL-major (c, s)
+    ve_flat = tabs[2][:, pixs].transpose(0, 1, 3, 2).reshape(heads, R, -1)
     shift = wh // 2
 
     fn = jax.jit(lambda q, ke, qe, ve: window_attention_native(

@@ -79,7 +79,7 @@ for tag, (wh, ww, N, heads, hd, Hp, Wp, WB, cand) in {
     ke_flat = k_embed.transpose(2, 0, 1, 3)[:, pixs].reshape(heads, R, -1)
     qe_flat = (q_embed * scale).transpose(2, 1, 0, 3)[:, pixs].reshape(
         heads, R, -1)
-    ve_flat = v_embed.transpose(2, 0, 1, 3)[:, pixs].reshape(heads, R, -1)
+    ve_flat = v_embed.transpose(2, 0, 3, 1)[:, pixs].reshape(heads, R, -1)  # c-major
 
     for shift in (0, wh // 2):
         if shift == 0:
