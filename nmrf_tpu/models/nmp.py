@@ -501,9 +501,7 @@ class CSWinAttention(nn.Module):
         w_center = kernel[1, 1, 0, :]  # [dim]
         center = vs.reshape(B * ni * nj, N, H_sp, W_sp, self.dim) * w_center
         others = center.sum(axis=1, keepdims=True) - center  # sum over k != j
-        rpe = rpe_sum - others  # [B', N, H_sp, W_sp, dim]
-        rpe = rpe.transpose(0, 2, 3, 1, 4).reshape(
-            B * ni * nj, H_sp * W_sp * N, h, hd).transpose(0, 2, 1, 3)
+        rpe_si = rpe_sum - others  # [B', N, H_sp, W_sp, dim]
 
         T = H_sp * W_sp * N
         mask = jnp.asarray(window_attn_mask((H_sp, W_sp, N)))
@@ -513,32 +511,26 @@ class CSWinAttention(nn.Module):
         use_fused = (self.use_pallas and self.idx in (0, 1) and T <= 1024
                      and (self.attn_drop == 0.0 or deterministic))
         if use_fused:
-            # fused stripe attention: [h, G, T, hd] layout, heads folded
-            # into each grid cell; the conv positional term stays in XLA
-            # and is added to the kernel output.
+            # direct-packing fused stripe attention: BlockSpecs address
+            # each stripe in the padded image layout (no host stripe
+            # transposes); the conv positional term stays in XLA and is
+            # added back in image layout.
             from ..ops.pallas.attention import (
-                masked_attention, masked_attention_op)
+                stripe_attention_direct, stripe_attention_op)
 
-            G = B * ni * nj
-
-            def to_stripes_h(t):
-                t = t.reshape(B, ni, H_sp, nj, W_sp, N, h, hd)
-                return t.transpose(6, 0, 1, 3, 2, 4, 5, 7).reshape(h, G, T, hd)
-
-            qs = to_stripes_h(q)
-            ks = to_stripes_h(k)
-            vv = to_stripes_h(v)
-            rpe_h = rpe.transpose(1, 0, 2, 3)              # [h, G, T, hd]
             if self.pallas_interpret:
-                out = masked_attention(qs, ks, vv, mask[None], scale,
-                                       interpret=True)
+                out = stripe_attention_direct(q, k, v, mask, scale,
+                                              H_sp, W_sp, h, interpret=True)
             else:
-                out = masked_attention_op(qs, ks, vv, mask[None], scale)
-            out = out + rpe_h
-            out = out.reshape(h, B, ni, nj, H_sp, W_sp, N, hd)
-            out = out.transpose(1, 2, 4, 3, 5, 6, 0, 7)
-            out = out.reshape(B, Hp, Wp, N, self.dim)
+                out = stripe_attention_op(q, k, v, mask, scale,
+                                          H_sp, W_sp, h)
+            rpe_img = rpe_si.reshape(B, ni, nj, N, H_sp, W_sp, self.dim)
+            rpe_img = rpe_img.transpose(0, 1, 4, 2, 5, 3, 6).reshape(
+                B, Hp, Wp, N, self.dim)
+            out = out + rpe_img.astype(out.dtype)
             return out[:, tp:tp + H, lp:lp + W]
+        rpe = rpe_si.transpose(0, 2, 3, 1, 4).reshape(
+            B * ni * nj, H_sp * W_sp * N, h, hd).transpose(0, 2, 1, 3)
 
         qs, ks = to_stripes(q), to_stripes(k)
         vv = v.reshape(B, ni, H_sp, nj, W_sp, N, self.dim)

@@ -140,6 +140,129 @@ masked_attention_op.defvjp(_ma_fwd, _ma_bwd)
 
 
 # --------------------------------------------------------------------------- #
+# Direct-packing stripe attention (CSWin): image-layout blocks, no caller
+# stripe transposes
+# --------------------------------------------------------------------------- #
+
+def _stripe_attention_kernel(q_ref, k_ref, v_ref, mask_ref, out_ref, *,
+                             scale, num_heads, hd):
+    """One stripe's attention, tokens in natural (hs, ws, n) image order.
+
+    Blocks arrive [1, H_sp, W_sp*N, C] (a leading-dim collapse restores
+    [T, C]); heads unroll via static hd-lane slices, exactly like
+    ``_window_native_kernel_direct``.
+    """
+    x_q = q_ref[0, 0, :, 0]                         # [H_sp, W_sp*N, C]
+    T = x_q.shape[0] * x_q.shape[1]
+    C = num_heads * hd
+    q2 = x_q.reshape(T, C)
+    k2 = k_ref[0, 0, :, 0].reshape(T, C)
+    v2 = v_ref[0, 0, :, 0].reshape(T, C)
+    cd = jnp.float32 if q2.dtype == jnp.float32 else q2.dtype
+    mask = mask_ref[:]
+    outs = []
+    for i in range(num_heads):
+        q = q2[:, i * hd:(i + 1) * hd].astype(cd) * scale
+        k = k2[:, i * hd:(i + 1) * hd].astype(cd)
+        v = v2[:, i * hd:(i + 1) * hd]
+        logits = lax.dot_general(q, k, (((1,), (1,)), ((), ())), **_F32)
+        logits = logits + mask
+        mx = jnp.max(logits, axis=-1, keepdims=True)
+        e = jnp.exp(logits - mx)
+        attn = e / jnp.sum(e, axis=-1, keepdims=True)
+        outs.append(lax.dot_general(attn.astype(v.dtype), v,
+                                    (((1,), (0,)), ((), ())), **_F32))
+    out = jnp.concatenate(outs, axis=-1)
+    out_ref[0, 0, :, 0] = out.reshape(*x_q.shape[:2], C).astype(out_ref.dtype)
+
+
+def stripe_attention_direct(q, k, v, mask, scale, H_sp, W_sp, num_heads,
+                            interpret=None):
+    """Fused CSWin stripe attention on image-layout tensors.
+
+    q/k/v: [B, Hp, Wp, N, C] already padded to stripe multiples; the stripe
+    grid is (B, ni, nj) with ni = Hp//H_sp, nj = Wp//W_sp, and BlockSpecs
+    address each [H_sp, W_sp*N, C] stripe in place — no host-side stripe
+    packing transposes (the ``to_stripes`` path cost ~1 ms/frame across the
+    propagation layers at KITTI shapes).  mask: [T, T] additive f32 with
+    T = H_sp*W_sp*N (the anti-same-pixel stripe mask).
+    Returns [B, Hp, Wp, N, C] in q.dtype.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    B, Hp, Wp, N, C = q.shape
+    ni, nj = Hp // H_sp, Wp // W_sp
+    hd = C // num_heads
+    T = H_sp * W_sp * N
+
+    def img(t):
+        return t.reshape(B, ni, H_sp, nj, W_sp * N, C)
+
+    blk = pl.BlockSpec((1, 1, H_sp, 1, W_sp * N, C),
+                       lambda b, i, j: (b, i, 0, j, 0, 0),
+                       memory_space=pltpu.VMEM)
+    msk = pl.BlockSpec((T, T), lambda b, i, j: (0, 0),
+                       memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_stripe_attention_kernel, scale=scale,
+                          num_heads=num_heads, hd=hd),
+        grid=(B, ni, nj),
+        in_specs=[blk, blk, blk, msk],
+        out_specs=blk,
+        out_shape=jax.ShapeDtypeStruct((B, ni, H_sp, nj, W_sp * N, C),
+                                       q.dtype),
+        interpret=interpret,
+    )(img(q), img(k), img(v), mask)
+    return out.reshape(B, Hp, Wp, N, C)
+
+
+def stripe_attention_reference(q, k, v, mask, scale, H_sp, W_sp, num_heads):
+    """jnp golden of :func:`stripe_attention_direct` (tests + VJP bwd)."""
+    B, Hp, Wp, N, C = q.shape
+    ni, nj = Hp // H_sp, Wp // W_sp
+    hd = C // num_heads
+    T = H_sp * W_sp * N
+
+    def st(t):  # [B,Hp,Wp,N,C] -> [B*ni*nj, h, T, hd]
+        t = t.reshape(B, ni, H_sp, nj, W_sp, N, num_heads, hd)
+        return t.transpose(0, 1, 3, 6, 2, 4, 5, 7).reshape(
+            B * ni * nj, num_heads, T, hd)
+
+    qs, ks, vs = st(q), st(k), st(v)
+    logits = jnp.einsum("ghic,ghjc->ghij", qs.astype(jnp.float32) * scale,
+                        ks.astype(jnp.float32))
+    attn = jax.nn.softmax(logits + mask[None, None], axis=-1)
+    out = jnp.einsum("ghij,ghjc->ghic", attn.astype(vs.dtype), vs)
+    out = out.reshape(B, ni, nj, num_heads, H_sp, W_sp, N, hd)
+    out = out.transpose(0, 1, 4, 2, 5, 6, 3, 7)
+    return out.reshape(B, Hp, Wp, N, C).astype(q.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def stripe_attention_op(q, k, v, mask, scale, H_sp, W_sp, num_heads):
+    """Differentiable direct stripe attention (Pallas fwd, remat bwd)."""
+    return stripe_attention_direct(q, k, v, mask, scale, H_sp, W_sp,
+                                   num_heads)
+
+
+def _sa_fwd(q, k, v, mask, scale, H_sp, W_sp, num_heads):
+    return stripe_attention_direct(q, k, v, mask, scale, H_sp, W_sp,
+                                   num_heads), (q, k, v, mask)
+
+
+def _sa_bwd(scale, H_sp, W_sp, num_heads, res, g):
+    q, k, v, mask = res
+    _, vjp = jax.vjp(
+        lambda q, k, v: stripe_attention_reference(
+            q, k, v, mask, scale, H_sp, W_sp, num_heads), q, k, v)
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, None
+
+
+stripe_attention_op.defvjp(_sa_fwd, _sa_bwd)
+
+
+# --------------------------------------------------------------------------- #
 # Window-native attention: coordinate masks + resident positional tables
 # --------------------------------------------------------------------------- #
 #
