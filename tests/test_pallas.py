@@ -112,6 +112,38 @@ class TestModuleIntegration:
                                    atol=2e-4, rtol=1e-4)
 
 
+class TestStripeAttentionDirect:
+    """Direct-packing CSWin stripe kernel: parity + custom-VJP gradients."""
+
+    def _args(self, idx):
+        from nmrf_tpu.models.nmp import window_attn_mask
+
+        B, H, W, N, C, h = 1, 8, 12, 2, 16, 2
+        H_sp, W_sp = (H, 2) if idx == 0 else (2, W)
+        rng = np.random.RandomState(7)
+        mk = lambda: jnp.asarray(rng.randn(B, H, W, N, C).astype(np.float32))
+        q, k, v = mk(), mk(), mk()
+        mask = jnp.asarray(window_attn_mask((H_sp, W_sp, N)))
+        return q, k, v, mask, 0.25, H_sp, W_sp, h
+
+    @pytest.mark.parametrize("idx", [0, 1])
+    def test_matches_reference(self, idx):
+        q, k, v, mask, scale, H_sp, W_sp, h = self._args(idx)
+        got = fa.stripe_attention_direct(q, k, v, mask, scale, H_sp, W_sp, h,
+                                         interpret=True)
+        want = fa.stripe_attention_reference(q, k, v, mask, scale,
+                                             H_sp, W_sp, h)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5, rtol=1e-5)
+
+    def test_grad_through_custom_vjp(self):
+        q, k, v, mask, scale, H_sp, W_sp, h = self._args(0)
+        check_grads(
+            lambda q, k, v: jnp.sum(fa.stripe_attention_op(
+                q, k, v, mask, scale, H_sp, W_sp, h) ** 2),
+            (q, k, v), eps=1e-2, probes=5)
+
+
 class TestWindowNative:
     """window_attention_native: in-kernel masks + flattened positional
     tables must reproduce the WindowAttention module math exactly."""
@@ -131,6 +163,29 @@ class TestWindowNative:
         # ve is CHANNEL-major (c, s) — see window_attention_native docstring
         ve = v_e.transpose(2, 0, 3, 1)[:, pixs].reshape(heads, R, -1)
         return meta, sel, ke, qe, ve
+
+    @pytest.mark.parametrize("shift", [0, 2])
+    def test_direct_equals_transposed(self, shift):
+        """The direct-packing path (default) must be bit-identical to the
+        transposed A/B path in interpret mode, f32 and bf16."""
+        B, H, W, N, dim, heads, ws, WB = 2, 8, 24, 2, 16, 2, 4, 3
+        hd = dim // heads
+        scale = hd ** -0.5
+        rng = np.random.RandomState(5)
+        qkv = jnp.asarray(rng.randn(B, H, W, N, 3 * dim).astype(np.float32))
+        table = jnp.asarray(
+            (rng.randn((2 * ws - 1) ** 2, 3 * dim) * 0.1).astype(np.float32))
+        meta, sel, ke, qe, ve = self._tables(table, ws, heads, hd, WB, N,
+                                             scale)
+        for dt in (jnp.float32, jnp.bfloat16):
+            a = [x.astype(dt) for x in (qkv, ke, qe, ve)]
+            direct = fa.window_attention_native(
+                a[0], a[1], a[2], a[3], shift, scale, ws, ws, WB, heads,
+                True, interpret=True, direct=True)
+            transp = fa.window_attention_native(
+                a[0], a[1], a[2], a[3], shift, scale, ws, ws, WB, heads,
+                True, interpret=True, direct=False)
+            assert jnp.array_equal(direct, transp), dt
 
     @pytest.mark.parametrize("shift", [0, 2])
     def test_matches_module(self, shift):
