@@ -147,6 +147,10 @@ def get_cfg() -> CN:
     # unbounded exact gather path (MSDA_TAP_RADIUS 0) instead of training
     # on silently-truncated attention.
     _C.TPU.MSDA_OOB_FALLBACK = False
+    # Lower GELU to the tanh approximation inside bf16 compute (the f32
+    # parity path always keeps the reference's exact erf form).  See
+    # models/layers.py:set_gelu_approximate for the accuracy envelope.
+    _C.TPU.GELU_APPROX = False
     # Eval-time padding bucketing to bound recompiles: pad H,W up to multiples.
     _C.TPU.EVAL_BUCKET = 64
     # Rematerialize (jax.checkpoint) each scanned NMP layer in the backward

@@ -12,6 +12,9 @@ def build_model(cfg, spatial_axis=None, msda_tap_radius=None):
     msda_tap_radius: override cfg.TPU.MSDA_TAP_RADIUS (the tap-OOB guard
     rebuilds the model with radius 0 — the exact gather path — when learned
     offsets drift outside the tap span during training)."""
+    from .layers import set_gelu_approximate
+
+    set_gelu_approximate(getattr(cfg.TPU, "GELU_APPROX", False))
     model = NMRF(
         spatial_axis=spatial_axis,
         backbone_type=cfg.BACKBONE.MODEL_TYPE,

@@ -30,7 +30,23 @@ def kaiming_normal_out(key, shape, dtype=jnp.float32):
     return jax.random.normal(key, shape, dtype) * std
 
 
+_GELU_APPROXIMATE = False
+
+
+def set_gelu_approximate(enabled: bool):
+    """Deployment knob (``TPU.GELU_APPROX``): lower GELU to the tanh
+    approximation INSIDE bf16 compute only.  The reference uses exact
+    erf-GELU (torch nn.GELU default) — the f32 parity path always keeps it;
+    the tanh form differs by <~1e-3 relative, far inside the bf16 path's
+    own rounding.  Trace-time global set by ``build_model`` before any
+    tracing (each jit trace reads the then-current value)."""
+    global _GELU_APPROXIMATE
+    _GELU_APPROXIMATE = bool(enabled)
+
+
 def gelu_exact(x):
+    if _GELU_APPROXIMATE and x.dtype == jnp.bfloat16:
+        return jax.nn.gelu(x, approximate=True)
     return jax.nn.gelu(x, approximate=False)
 
 
