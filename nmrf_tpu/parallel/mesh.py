@@ -50,16 +50,27 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 def shard_batch(batch: dict, mesh: Mesh) -> dict:
     """Host->device transfer of a numpy batch dict: batch axis over `data`,
-    image H axis over `spatial` (when the mesh has one)."""
+    image H axis over `spatial` (when the mesh has one).
+
+    Multi-process: each process holds only its ``ShardedBatchSampler`` shard
+    (local_batch = global / world), so the global array is assembled with
+    ``jax.make_array_from_process_local_data`` — the jax analog of feeding
+    DDP ranks disjoint DistributedSampler shards (reference main.py:334-339,
+    datasets.py:393-397).  Exercised by tests/test_multiprocess.py."""
     sh = batch_sharding(mesh)
     spatial = mesh.shape.get("spatial", 1) > 1
     sh_hw = NamedSharding(mesh, P("data", "spatial")) if spatial else sh
+    multiproc = jax.process_count() > 1
     out = {}
     for k, v in batch.items():
         if k == "meta":
             continue
         v = np.asarray(v)
-        out[k] = jax.device_put(v, sh_hw if v.ndim >= 2 else sh)
+        s = sh_hw if v.ndim >= 2 else sh
+        if multiproc:
+            out[k] = jax.make_array_from_process_local_data(s, v)
+        else:
+            out[k] = jax.device_put(v, s)
     return out
 
 

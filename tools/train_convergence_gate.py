@@ -109,6 +109,9 @@ def main():
     cfg.DATASETS.CROP_SIZE = (384, 768)
     cfg.SOLVER.IMS_PER_BATCH = 8
     cfg.TPU.COMPUTE_DTYPE = "bfloat16"
+    # the production train step only fits HBM rematerialized (the non-remat
+    # step needs ~36G vs 16G on one v5e; PARITY.md training-throughput entry)
+    cfg.TPU.REMAT = True
     # OneCycle spans the gate's own length — the honest miniature of the
     # production recipe.  (An earlier 10**9 horizon left the whole run in
     # the warmup's FIRST step: OneCycle starts at max_lr/div_factor=2e-5
