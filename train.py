@@ -252,13 +252,21 @@ def main():
     logger.info("Start training")
 
     log_freq = 20  # reference logs every 20 iters (main.py:412)
+    # interval-max carry for the tap-OOB guard: the step reports
+    # max(this step, carry) so the log-point readback sees the whole
+    # interval, not a sample (parallel/mesh.py make_train_step)
+    oob_carry = 0.0
     while total_steps < cfg.SOLVER.MAX_ITER:
         header = f"Epoch: [{epoch}]"
         for i, device_batch in enumerate(
                 metric_logger.log_every(
                     device_prefetch(loader, mesh), log_freq, header,
                     logger=logger, total=len(loader))):
-            params, opt_state, losses = train_step(params, opt_state, device_batch, total_steps)
+            params, opt_state, losses = train_step(params, opt_state,
+                                                   device_batch, total_steps,
+                                                   oob_carry)
+            if monitor_oob:
+                oob_carry = losses["msda_tap_oob"]  # device scalar, async
 
             total_steps += 1
             # Loss scalars stay on device between log points — a host
@@ -268,6 +276,7 @@ def main():
             # i % log_freq == 0, so the printed meters are always current.
             if i % log_freq == 0 or total_steps == cfg.SOLVER.MAX_ITER:
                 host_losses = {k: float(v) for k, v in losses.items()}
+                oob_carry = 0.0  # readback consumed the interval max
                 if tap_guard.check(host_losses.get("msda_tap_oob", 0.0)):
                     # rebuild the step on the unbounded exact gather path;
                     # params/opt_state carry over (same tree either way)
@@ -278,6 +287,8 @@ def main():
                     train_step = make_train_step(
                         model_fb, criterion, tx, seed=max(cfg.SEED, 0),
                         mesh=mesh, monitor_oob=False)
+                    monitor_oob = False
+                    oob_carry = 0.0
                 metric_logger.update(lr=float(np.asarray(schedule(
                     (total_steps - 1) // cfg.SOLVER.ACCUM_STEPS))))
                 metric_logger.update(epoch=epoch)  # reference main.py:404
