@@ -118,6 +118,10 @@ def bench_mesh(cfg, data, spatial, iters=8):
     except Exception as e:
         print(f"collective_stats unavailable: {e}", file=sys.stderr)
 
+    param_bytes = sum(
+        int(np.prod(p.shape)) * p.dtype.itemsize
+        for p in jax.tree_util.tree_leaves(params))
+
     params, opt_state, losses = step(params, opt_state, batch, 0)  # compile
     jax.block_until_ready(losses["total"])
     t0 = time.perf_counter()
@@ -126,7 +130,62 @@ def bench_mesh(cfg, data, spatial, iters=8):
     total = float(losses["total"])  # readback closes the pipeline
     dt = (time.perf_counter() - t0) / iters
     assert np.isfinite(total), losses
-    return dt, comm
+    return dt, comm, param_bytes
+
+
+def check_comm_contract(comm, param_bytes, data, spatial):
+    """Assert the DDP communication contract on the compiled collectives.
+
+    Pure-DP meshes (spatial=1, data>1) must communicate exactly one
+    gradient all-reduce of parameter bytes (+ a scalar-metrics epsilon):
+      * all-reduce bytes == param_bytes within 1% + 64 KiB;
+      * all-gather bytes ~ 0 (the SPMD-partitioned Pallas kernels keep the
+        batch sharded, ops/pallas/partitioning.py; a <=256 KiB allowance
+        covers the dpn top_k row gather);
+      * collective-permute bytes bounded by the known backbone resharding
+        (extract_feature concatenates the image pair along batch; slicing
+        the pair back re-aligns shards) — flagged if they exceed 30% of
+        the gradient volume.
+    Spatial meshes add halo/stripe exchanges by design: require they exist
+    and that gradients are still globally reduced (all-reduce + reduce-
+    scatter >= 60% of param bytes; the partitioner may reduce-scatter a
+    slab).  Returns a findings dict; raises AssertionError on violation.
+    """
+    comm = comm or {}
+
+    def b(op):
+        return comm.get(op, {}).get("bytes", 0)
+
+    res = {"param_bytes": param_bytes}
+    if data * spatial == 1:
+        assert not comm, f"collectives on a 1-device mesh: {comm}"
+        return res
+    ar = b("all-reduce")
+    if spatial == 1:
+        slack = param_bytes * 0.01 + 65536
+        assert abs(ar - param_bytes) <= slack, (
+            f"DP grad all-reduce {ar} B != param bytes {param_bytes} B "
+            f"(slack {slack:.0f})")
+        ag = b("all-gather")
+        assert ag <= 262144, (
+            f"DP step all-gathers {ag} B: batch replication leaked back in "
+            "(see ops/pallas/partitioning.py)")
+        cp = b("collective-permute")
+        assert cp <= max(0.3 * param_bytes, 1 << 20), (
+            f"DP step collective-permutes {cp} B exceed the backbone "
+            "pair-resharding allowance")
+        res.update(allreduce_vs_params="exact",
+                   allgather_bytes=ag, permute_bytes=cp)
+    else:
+        assert b("collective-permute") > 0 or b("all-gather") > 0, (
+            "spatial mesh with no halo/stripe exchanges?")
+        reduced = ar + b("reduce-scatter")
+        assert reduced >= 0.6 * param_bytes, (
+            f"spatial mesh gradient reduction {reduced} B < 60% of "
+            f"param bytes {param_bytes} B")
+        res.update(grad_reduced_bytes=reduced,
+                   halo_stripe_bytes=b("collective-permute") + b("all-gather"))
+    return res
 
 
 def main():
@@ -168,10 +227,11 @@ def main():
     results = []
     t1 = None
     for data, spatial, c in meshes:
-        dt, comm = bench_mesh(c, data, spatial)
+        dt, comm, param_bytes = bench_mesh(c, data, spatial)
         if t1 is None and data * spatial == 1:
             t1 = dt
         eff = (t1 / dt) if t1 else None
+        contract = check_comm_contract(comm, param_bytes, data, spatial)
         row = {
             "mesh": f"data={data}x spatial={spatial}",
             "variant": c.BACKBONE.MODEL_TYPE,
@@ -181,6 +241,7 @@ def main():
             "weak_scaling_efficiency": (round(eff, 3)
                                         if eff and c is cfg else None),
             "collectives_per_step": comm,
+            "comm_contract": contract,
         }
         results.append(row)
         print(json.dumps(row), flush=True)

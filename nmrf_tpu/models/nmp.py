@@ -276,6 +276,9 @@ class WindowAttention(nn.Module):
             else:
                 row0 = 0
                 hp_total = H
+            # batch-partitioned outside shard_map so a DP jit keeps the
+            # batch sharded through the opaque pallas call (partitioning.py)
+            part = self.spatial_axis is None
             if self.pallas_interpret:
                 out = window_attention_native(
                     qkv, ke_flat, qe_flat, ve_flat, shift, scale,
@@ -284,7 +287,8 @@ class WindowAttention(nn.Module):
             else:
                 out = window_attention_native_op(
                     qkv, ke_flat, qe_flat, ve_flat, shift, row0, scale,
-                    wh, ww, WB, h, self.candidate_mask, NEG_INF, hp_total)
+                    wh, ww, WB, h, self.candidate_mask, NEG_INF, hp_total,
+                    part)
             if not static_zero:
                 if self.spatial_axis is not None:
                     from ..parallel.spatial import global_roll_h
@@ -522,8 +526,10 @@ class CSWinAttention(nn.Module):
                 out = stripe_attention_direct(q, k, v, mask, scale,
                                               H_sp, W_sp, h, interpret=True)
             else:
+                # batch-partitioned outside shard_map (partitioning.py)
                 out = stripe_attention_op(q, k, v, mask, scale,
-                                          H_sp, W_sp, h)
+                                          H_sp, W_sp, h,
+                                          self.spatial_axis is None)
             rpe_img = rpe_si.reshape(B, ni, nj, N, H_sp, W_sp, self.dim)
             rpe_img = rpe_img.transpose(0, 1, 4, 2, 5, 3, 6).reshape(
                 B, Hp, Wp, N, self.dim)

@@ -134,7 +134,10 @@ def _tap_level_reference(value_map, dx, dy, aw, num_heads, radius):
 def _tap_level_op(value_map, dx, dy, aw, num_heads, radius):
     from .pallas.msda import msda_taps_level
 
-    return msda_taps_level(value_map, dx, dy, aw, num_heads, radius)
+    # partition=True: the adaptor always runs in the GSPMD region (swin
+    # backbone), never inside shard_map — a sharded batch stays sharded
+    return msda_taps_level(value_map, dx, dy, aw, num_heads, radius,
+                           partition=True)
 
 
 def _tap_fwd(value_map, dx, dy, aw, num_heads, radius):

@@ -177,7 +177,7 @@ def _stripe_attention_kernel(q_ref, k_ref, v_ref, mask_ref, out_ref, *,
 
 
 def stripe_attention_direct(q, k, v, mask, scale, H_sp, W_sp, num_heads,
-                            interpret=None):
+                            interpret=None, partition=False):
     """Fused CSWin stripe attention on image-layout tensors.
 
     q/k/v: [B, Hp, Wp, N, C] already padded to stripe multiples; the stripe
@@ -187,9 +187,28 @@ def stripe_attention_direct(q, k, v, mask, scale, H_sp, W_sp, num_heads,
     propagation layers at KITTI shapes).  mask: [T, T] additive f32 with
     T = H_sp*W_sp*N (the anti-same-pixel stripe mask).
     Returns [B, Hp, Wp, N, C] in q.dtype.
+
+    partition: declare the batch dim SPMD-partitionable (custom_
+    partitioning) so a data-parallel jit keeps the batch sharded instead of
+    replicating the opaque pallas call on every device (partitioning.py).
+    Must stay False inside shard_map (tensors already per-device).
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    if partition:
+        from .partitioning import shard_over_batch
+
+        return shard_over_batch(
+            _stripe_direct_core, (0, 0, 0, None), 5, (q, k, v, mask),
+            (("scale", scale), ("H_sp", H_sp), ("W_sp", W_sp),
+             ("num_heads", num_heads), ("interpret", interpret)))
+    return _stripe_direct_core(q, k, v, mask, scale=scale, H_sp=H_sp,
+                               W_sp=W_sp, num_heads=num_heads,
+                               interpret=interpret)
+
+
+def _stripe_direct_core(q, k, v, mask, *, scale, H_sp, W_sp, num_heads,
+                        interpret):
     B, Hp, Wp, N, C = q.shape
     ni, nj = Hp // H_sp, Wp // W_sp
     hd = C // num_heads
@@ -238,19 +257,21 @@ def stripe_attention_reference(q, k, v, mask, scale, H_sp, W_sp, num_heads):
     return out.reshape(B, Hp, Wp, N, C).astype(q.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
-def stripe_attention_op(q, k, v, mask, scale, H_sp, W_sp, num_heads):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def stripe_attention_op(q, k, v, mask, scale, H_sp, W_sp, num_heads,
+                        partition=False):
     """Differentiable direct stripe attention (Pallas fwd, remat bwd)."""
     return stripe_attention_direct(q, k, v, mask, scale, H_sp, W_sp,
-                                   num_heads)
+                                   num_heads, partition=partition)
 
 
-def _sa_fwd(q, k, v, mask, scale, H_sp, W_sp, num_heads):
+def _sa_fwd(q, k, v, mask, scale, H_sp, W_sp, num_heads, partition=False):
     return stripe_attention_direct(q, k, v, mask, scale, H_sp, W_sp,
-                                   num_heads), (q, k, v, mask)
+                                   num_heads,
+                                   partition=partition), (q, k, v, mask)
 
 
-def _sa_bwd(scale, H_sp, W_sp, num_heads, res, g):
+def _sa_bwd(scale, H_sp, W_sp, num_heads, partition, res, g):
     q, k, v, mask = res
     _, vjp = jax.vjp(
         lambda q, k, v: stripe_attention_reference(
@@ -475,7 +496,7 @@ def _window_native_kernel_direct(shift_ref, x_ref, ke_ref, qe_ref,
 def window_attention_native(qkv, ke_flat, qe_flat, ve_flat, shift,
                             scale, wh, ww, WB, num_heads, candidate_mask,
                             neg=-1e9, interpret=None, row0=0, hp_total=None,
-                            direct=True):
+                            direct=True, partition=False):
     """Fused windowed NMP attention with in-kernel masks and VMEM-resident
     positional tables.
 
@@ -496,10 +517,62 @@ def window_attention_native(qkv, ke_flat, qe_flat, ve_flat, shift,
         H is sharded under shard_map (0 unsharded): the shifted-region mask
         is evaluated at global y = row0 + local y.
       hp_total: global padded image height (defaults to qkv's local Hp).
+      partition: declare the batch dim SPMD-partitionable so a data-
+        parallel jit keeps the batch sharded instead of replicating the
+        opaque pallas call (partitioning.py).  Requires a STATIC row0
+        (i.e. not under shard_map, where it must stay False anyway).
     Returns [B, Hp, Wp, N, h*hd] in qkv.dtype.
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    if partition:
+        from .partitioning import shard_over_batch
+
+        return shard_over_batch(
+            _wan_core, (0, None, None, None, None, None,
+                        None, None, None, None, None), 5,
+            (qkv, ke_flat, qe_flat, ve_flat,
+             jnp.asarray(shift, jnp.int32), jnp.asarray(row0, jnp.int32))
+            + _wan_consts(wh, ww, WB, int(qkv.shape[3]),
+                          int(qkv.shape[4]) // (3 * num_heads),
+                          candidate_mask, neg),
+            (("scale", scale), ("wh", wh), ("ww", ww), ("WB", WB),
+             ("num_heads", num_heads), ("candidate_mask", candidate_mask),
+             ("neg", neg), ("interpret", interpret),
+             ("hp_total", hp_total), ("direct", direct)))
+    consts = _wan_consts(wh, ww, WB, int(qkv.shape[3]),
+                         int(qkv.shape[4]) // (3 * num_heads),
+                         candidate_mask, neg)
+    return _wan_core(qkv, ke_flat, qe_flat, ve_flat, shift, row0, *consts,
+                     scale=scale, wh=wh, ww=ww, WB=WB, num_heads=num_heads,
+                     candidate_mask=candidate_mask, neg=neg,
+                     interpret=interpret, hp_total=hp_total,
+                     direct=direct)
+
+
+def _wan_consts(wh, ww, WB, N, hd, candidate_mask, neg):
+    """The kernel's trace-time constant tables, built OUTSIDE the core so
+    custom_partitioning sees them as (replicated) operands — it rejects
+    functions closing over materialized jnp constants."""
+    P = wh * ww
+    s_red, s_ch_c = hd_group_selectors(P, hd)
+    meta, sel = window_meta(wh, ww, WB, N)
+    pix, win = meta[:, 0], meta[:, 1]
+    basemask = np.where(win[:, None] != win[None, :], neg, 0.0)
+    if candidate_mask:
+        same_pix = (pix[:, None] == pix[None, :]) & \
+            (win[:, None] == win[None, :])
+        np.fill_diagonal(same_pix, False)
+        basemask = basemask + np.where(same_pix, neg, 0.0)
+    return (jnp.asarray(sel), jnp.asarray(np.ascontiguousarray(sel.T)),
+            jnp.asarray(s_red), jnp.asarray(s_ch_c),
+            jnp.asarray(basemask.astype(np.float32)))
+
+
+def _wan_core(qkv, ke_flat, qe_flat, ve_flat, shift, row0,
+              sel, selT, s_red, s_ch_c, basemask, *, scale, wh,
+              ww, WB, num_heads, candidate_mask, neg, interpret, hp_total,
+              direct):
     B, Hp, Wp, N, C3 = qkv.shape
     if hp_total is None:
         hp_total = Hp
@@ -513,20 +586,9 @@ def window_attention_native(qkv, ke_flat, qe_flat, ve_flat, shift,
     G = B * nwh * nwwB
 
     PH = P * hd
-    s_red, s_ch_c = hd_group_selectors(P, hd)
-    meta, sel = window_meta(wh, ww, WB, N)
-    pix, win = meta[:, 0], meta[:, 1]
-    basemask = np.where(win[:, None] != win[None, :], neg, 0.0)
-    if candidate_mask:
-        same_pix = (pix[:, None] == pix[None, :]) & \
-            (win[:, None] == win[None, :])
-        np.fill_diagonal(same_pix, False)
-        basemask = basemask + np.where(same_pix, neg, 0.0)
     shift_arr = jnp.stack([jnp.asarray(shift, jnp.int32).reshape(()),
                            jnp.asarray(row0, jnp.int32).reshape(())])
-    consts = (jnp.asarray(sel), jnp.asarray(np.ascontiguousarray(sel.T)),
-              jnp.asarray(s_red), jnp.asarray(s_ch_c),
-              jnp.asarray(basemask.astype(np.float32)))
+    consts = (sel, selT, s_red, s_ch_c, basemask)
 
     if direct:
         # Direct-packing path (default): no host-side qkv transpose at all.
@@ -690,28 +752,30 @@ def window_attention_native_reference(qkv, ke_flat, qe_flat, ve_flat, shift,
     return out.reshape(B, Hp, Wp, N, h * hd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12, 13))
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(6, 7, 8, 9, 10, 11, 12, 13, 14))
 def window_attention_native_op(qkv, ke_flat, qe_flat, ve_flat,
                                shift, row0, scale, wh, ww, WB, num_heads,
-                               candidate_mask, neg=-1e9, hp_total=None):
+                               candidate_mask, neg=-1e9, hp_total=None,
+                               partition=False):
     """Differentiable window-native attention (Pallas fwd, remat bwd)."""
     return window_attention_native(qkv, ke_flat, qe_flat, ve_flat,
                                    shift, scale, wh, ww, WB, num_heads,
                                    candidate_mask, neg, row0=row0,
-                                   hp_total=hp_total)
+                                   hp_total=hp_total, partition=partition)
 
 
 def _wan_fwd(qkv, ke_flat, qe_flat, ve_flat, shift, row0, scale, wh, ww,
-             WB, num_heads, candidate_mask, neg, hp_total):
+             WB, num_heads, candidate_mask, neg, hp_total, partition=False):
     out = window_attention_native(qkv, ke_flat, qe_flat, ve_flat,
                                   shift, scale, wh, ww, WB, num_heads,
                                   candidate_mask, neg, row0=row0,
-                                  hp_total=hp_total)
+                                  hp_total=hp_total, partition=partition)
     return out, (qkv, ke_flat, qe_flat, ve_flat, shift, row0)
 
 
 def _wan_bwd(scale, wh, ww, WB, num_heads, candidate_mask, neg, hp_total,
-             res, g):
+             partition, res, g):
     qkv, ke_flat, qe_flat, ve_flat, shift, row0 = res
     _, vjp = jax.vjp(
         lambda qkv, ke, qe, ve: window_attention_native_reference(

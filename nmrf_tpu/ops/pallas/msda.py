@@ -141,7 +141,7 @@ def _msda_tap_kernel(dx_ref, dy_ref, aw_ref, v_hbm, sel_ref, out_ref,
 
 
 def msda_taps_level(value_map, dx, dy, aw, num_heads, radius,
-                    interpret=None):
+                    interpret=None, partition=False):
     """One level of tap-based MSDA.
 
     Args:
@@ -151,16 +151,38 @@ def msda_taps_level(value_map, dx, dy, aw, num_heads, radius,
       aw: [B, Hq, Wq, M*P] f32 attention weights.
       num_heads: M.
       radius: tap radius r (exact for |dx|,|dy| <= r).
+      partition: declare the batch dim SPMD-partitionable — the python
+        batch loop below otherwise forces a data-parallel jit to replicate
+        the whole batch on every device (ops/pallas/partitioning.py).
     Returns:
       [B, Hq, Wq, M*D] in value_map.dtype.
     """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    MD, MP = value_map.shape[-1], dx.shape[-1]
+    M = num_heads
+    # constant tables must enter as operands: custom_partitioning rejects
+    # functions that close over materialized jnp constants
+    sel = jnp.asarray(spread_matrix(M, MP // M, MD // M))
+    if partition:
+        from .partitioning import shard_over_batch
+
+        return shard_over_batch(
+            _msda_taps_core, (0, 0, 0, 0, None), 4,
+            (value_map, dx, dy, aw, sel),
+            (("num_heads", num_heads), ("radius", int(radius)),
+             ("interpret", interpret)))
+    return _msda_taps_core(value_map, dx, dy, aw, sel, num_heads=num_heads,
+                           radius=int(radius), interpret=interpret)
+
+
+def _msda_taps_core(value_map, dx, dy, aw, sel, *, num_heads, radius,
+                    interpret):
     B, Hl, Wl, MD = value_map.shape
     _, Hq, Wq, MP = dx.shape
     f = Hq // Hl
     assert Hq == Hl * f and Wq == Wl * f, (Hq, Wq, Hl, Wl)
     assert f & (f - 1) == 0, f  # power of two (divisibility padding)
-    if interpret is None:
-        interpret = jax.default_backend() == "cpu"
     r = int(radius)
     M = num_heads
     v = pad_and_colup(value_map, f, r)
@@ -205,7 +227,6 @@ def msda_taps_level(value_map, dx, dy, aw, num_heads, radius,
         if Hq % hg == 0 and chunk_bytes(hg) <= 3.5 * 2 ** 20:
             HG = hg
     CW = TW + (2 * r + 1) * f  # column reach of one tile across all taps
-    sel = jnp.asarray(spread_matrix(M, MP // M, MD // M))
     kern = functools.partial(_msda_tap_kernel, f=f, r=r, TQ=TQ, TW=TW,
                              CW=CW, MP=MP, MD=MD)
     vrows = HG // f + 2 * r + 2

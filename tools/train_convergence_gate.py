@@ -117,6 +117,14 @@ def main():
     # the warmup's FIRST step: OneCycle starts at max_lr/div_factor=2e-5
     # and the measured holdout EPE stalled at ~42 by step 500.)
     cfg.SOLVER.MAX_ITER = steps
+    # Peak LR is scaled down for the short horizon: at the production 5e-4
+    # the disp heads relu-collapse to 0 (relu(labels+delta) pins with zero
+    # gradient; holdout EPE froze at 15.46 = cost of predicting 0, r4
+    # diagnosis in tools/debug_convergence.py) and recovery only starts
+    # once OneCycle decays below ~1e-4 — past the 1000-step budget.  The
+    # reference's own 300k-step schedule spends proportionally far longer
+    # at low LR (default.py:98).
+    cfg.SOLVER.BASE_LR = 1e-4
     cfg.merge_from_list(argv)
     cfg.freeze()
 
