@@ -11,17 +11,32 @@ import numpy as np
 
 
 def make_stereo_pair(height, width, max_disp=32, num_rects=4, rng=None,
-                     dot_density=0.6):
+                     dot_density=0.6, disp_quantum=1):
     """Returns (img1, img2, disp, valid) float32/bool numpy arrays.
 
     img1/img2: [H, W, 3] in 0..255; disp: [H, W] >= 0; valid: [H, W].
+
+    disp_quantum: round every disparity UP to a multiple of this.  At 8
+    (one 1/8-res cost-volume bin) the task matches the cost volume's
+    native granularity: the right patch at the true shift is the same
+    dots, so an untrained backbone's correlation already peaks at the true
+    bin 63% of the time vs 15% unaligned (tools/probe_costvolume_signal.py)
+    — the convergence gate uses this to test the TRAINING STACK end-to-end
+    within a 1000-step budget, where learning sub-bin matching from
+    scratch is the reference's 300k-step problem.
     """
     rng = rng or np.random.RandomState(0)
     H, W = height, width
 
-    disp = np.full((H, W), float(rng.randint(2, max(3, max_disp // 4))), np.float32)
+    def q(d):
+        if disp_quantum <= 1:
+            return float(d)
+        return float(max(disp_quantum,
+                         int(round(d / disp_quantum)) * disp_quantum))
+
+    disp = np.full((H, W), q(rng.randint(2, max(3, max_disp // 4))), np.float32)
     for _ in range(num_rects):
-        d = float(rng.randint(2, max_disp))
+        d = q(rng.randint(2, max_disp))
         h0 = rng.randint(0, H // 2)
         w0 = rng.randint(0, W // 2)
         h1 = rng.randint(h0 + H // 8, H)

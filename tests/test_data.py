@@ -106,6 +106,29 @@ class TestSynthetic:
         a, b = ds[2], ds[2]
         np.testing.assert_array_equal(a["img1"], b["img1"])
 
+    def test_pair_aligned_quantum(self):
+        """disp_quantum=8 (the convergence gate's task): every disparity is
+        a positive multiple of 8 and the warp stays consistent."""
+        rng = np.random.RandomState(3)
+        img1, img2, disp, valid = make_stereo_pair(
+            64, 128, max_disp=48, rng=rng, disp_quantum=8)
+        assert np.all(disp % 8 == 0) and disp.min() >= 8
+        assert disp.max() <= 48
+        for y in (5, 33):
+            for x in range(int(disp[y].max()) + 1, 128):
+                if valid[y, x]:
+                    np.testing.assert_allclose(
+                        img1[y, x], img2[y, x - int(disp[y, x])])
+
+    def test_pair_default_unchanged(self):
+        """disp_quantum default leaves the historical sample stream
+        bit-identical (per-seed determinism contract)."""
+        a = make_stereo_pair(32, 64, max_disp=8, rng=np.random.RandomState(5))
+        b = make_stereo_pair(32, 64, max_disp=8, rng=np.random.RandomState(5),
+                             disp_quantum=1)
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(x, y)
+
 
 class _GlobalRngDataset:
     """Module-level (spawn-picklable) dataset whose samples depend on the

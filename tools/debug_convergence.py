@@ -41,6 +41,7 @@ def main():
     argv = sys.argv[1:]
     steps = _flag(argv, "--steps", 300, int)
     synth_max_disp = _flag(argv, "--synth-max-disp", 48, int)
+    synth_align = _flag(argv, "--synth-align", 8, int)
     overfit = _flag(argv, "--overfit", 1, int)  # 1: fixed batch; 0: fresh
     cfg = get_cfg()
     cfg.DATASETS.CROP_SIZE = (384, 768)
@@ -63,7 +64,7 @@ def main():
     step_fn = make_train_step(model, criterion, tx, seed=cfg.SEED)
     eval_fn = make_eval_step(model)
 
-    fixed = make_batch(cfg, 1, synth_max_disp)
+    fixed = make_batch(cfg, 1, synth_max_disp, align=synth_align)
     gt = fixed["disp"][0]
     vd = fixed["valid"][0]
     print(f"GT disp stats: mean {gt[vd].mean():.2f} std {gt[vd].std():.2f} "
@@ -96,7 +97,8 @@ def main():
     import time
     t0 = time.perf_counter()
     for s in range(1, steps + 1):
-        b = fixed if overfit else make_batch(cfg, s, synth_max_disp)
+        b = fixed if overfit else make_batch(cfg, s, synth_max_disp,
+                                             align=synth_align)
         batch = shard_batch(b, mesh)
         params, opt_state, losses = step_fn(params, opt_state, batch, s)
         if s % 20 == 0 or s == steps:

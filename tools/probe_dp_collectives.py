@@ -65,6 +65,19 @@ def main():
     step = make_train_step(model, criterion, tx)
     hlo = step.lower(params, opt_state, batch, 0).compile().as_text()
 
+    import importlib.util as ilu
+    spec = ilu.spec_from_file_location(
+        "bench_scaling", os.path.join(ROOT, "bench_scaling.py"))
+    bs = ilu.module_from_spec(spec)
+    spec.loader.exec_module(bs)
+    import json
+    print("collective_stats:", json.dumps(bs.collective_stats(hlo)))
+    param_bytes = sum(int(np.prod(p.shape)) * p.dtype.itemsize
+                      for p in jax.tree_util.tree_leaves(params))
+    print("param_bytes:", param_bytes)
+    with open("/tmp/probe_dp_hlo.txt", "w") as f:
+        f.write(hlo)
+
     lines = hlo.splitlines()
     defs = {}  # var name -> def line (for operand lookup)
     pat_def = re.compile(r"^\s*(%?[\w.-]+) = ")
@@ -74,7 +87,8 @@ def main():
             defs[m.group(1)] = ln.strip()
 
     for i, ln in enumerate(lines):
-        if re.search(r"= [^=]*(all-gather|collective-permute)(-start)?\(", ln):
+        if re.search(r"= [^=]*(all-gather|collective-permute|all-reduce)"
+                     r"(-start)?\(", ln):
             print("=" * 100)
             print(ln.strip()[:400])
             for op in re.findall(r"(%?[\w.-]+)(?=[,)])", ln.split("(", 1)[1])[:4]:
