@@ -133,7 +133,7 @@ def bench_mesh(cfg, data, spatial, iters=8):
     return dt, comm, param_bytes
 
 
-def check_comm_contract(comm, param_bytes, data, spatial):
+def check_comm_contract(comm, param_bytes, data, spatial, batch_px=0):
     """Assert the DDP communication contract on the compiled collectives.
 
     Pure-DP meshes (spatial=1, data>1) must communicate exactly one
@@ -142,10 +142,14 @@ def check_comm_contract(comm, param_bytes, data, spatial):
       * all-gather bytes ~ 0 (the SPMD-partitioned Pallas kernels keep the
         batch sharded, ops/pallas/partitioning.py; a <=256 KiB allowance
         covers the dpn top_k row gather);
-      * collective-permute bytes bounded by the known backbone resharding
-        (extract_feature concatenates the image pair along batch; slicing
-        the pair back re-aligns shards) — flagged if they exceed 30% of
-        the gradient volume.
+      * collective-permute bytes bounded by the backbone pair-resharding
+        model: ``extract_feature`` concatenates the image pair along batch
+        and slices it back, so a (D-1)/D fraction of the pair's
+        image+feature-pyramid activations (and their cotangents) crosses
+        devices — <= 512 B per image pixel moved (measured ~300-320 B/px
+        constant across mesh sizes: inputs 12 B/px f32, 1/4- and 1/8-res
+        bf16 pyramids + projections ~70 B/px, doubled by the backward's
+        transposed resharding).  batch_px = global_batch * H * W.
     Spatial meshes add halo/stripe exchanges by design: require they exist
     and that gradients are still globally reduced (all-reduce + reduce-
     scatter >= 60% of param bytes; the partitioner may reduce-scatter a
@@ -179,9 +183,12 @@ def check_comm_contract(comm, param_bytes, data, spatial):
             f"DP step all-gathers {ag} B: batch replication leaked back in "
             "(see ops/pallas/partitioning.py)")
         cp = b("collective-permute")
-        assert cp <= max(0.3 * param_bytes, 1 << 20), (
+        moved_frac = (data - 1) / data
+        allowance = max(512 * batch_px * moved_frac, 1 << 20)
+        assert cp <= allowance, (
             f"DP step collective-permutes {cp} B exceed the backbone "
-            "pair-resharding allowance")
+            f"pair-resharding allowance {allowance:.0f} B "
+            f"(512 B/px x {batch_px} px x {moved_frac:.2f} moved)")
         res.update(allreduce_vs_params="exact",
                    allgather_bytes=ag, permute_bytes=cp)
     else:
@@ -239,7 +246,10 @@ def main():
         if t1 is None and data * spatial == 1:
             t1 = dt
         eff = (t1 / dt) if t1 else None
-        contract = check_comm_contract(comm, param_bytes, data, spatial)
+        H, W = c.DATASETS.CROP_SIZE
+        contract = check_comm_contract(
+            comm, param_bytes, data, spatial,
+            batch_px=c.SOLVER.IMS_PER_BATCH * data * H * W)
         row = {
             "mesh": f"data={data}x spatial={spatial}",
             "variant": c.BACKBONE.MODEL_TYPE,

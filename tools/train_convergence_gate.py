@@ -128,14 +128,17 @@ def main():
     # the warmup's FIRST step: OneCycle starts at max_lr/div_factor=2e-5
     # and the measured holdout EPE stalled at ~42 by step 500.)
     cfg.SOLVER.MAX_ITER = steps
-    # Peak LR is scaled down for the short horizon: at the production 5e-4
-    # the disp heads relu-collapse to 0 (relu(labels+delta) pins with zero
-    # gradient; holdout EPE froze at 15.46 = cost of predicting 0, r4
-    # diagnosis in tools/debug_convergence.py) and recovery only starts
-    # once OneCycle decays below ~1e-4 — past the 1000-step budget.  The
-    # reference's own 300k-step schedule spends proportionally far longer
-    # at low LR (default.py:98).
-    cfg.SOLVER.BASE_LR = 1e-4
+    # Peak LR scaled for the short horizon (measured, aligned task,
+    # tools/debug_convergence.py r4): at the production 5e-4 the disp heads
+    # relu-collapse to 0 unrecoverably (relu(labels+delta) pins with zero
+    # gradient; holdout EPE froze at the predict-0 cost); 1e-4 never
+    # collapses but learns features too slowly (holdout EPE 8.76 at step
+    # 1000); 2e-4 rides the collapse — the hot phase learns the matching
+    # fast (proposal bestEPE 0.375 vs 0.73 bins at 1e-4 by step 300) and
+    # the heads recover during the OneCycle decay tail (probe EPE 3.75 at
+    # step 300).  The reference's 300k-step schedule never sees this
+    # regime: its warmup alone is 15k steps (default.py:98).
+    cfg.SOLVER.BASE_LR = 2e-4
     cfg.merge_from_list(argv)
     cfg.freeze()
 
