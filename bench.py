@@ -25,32 +25,13 @@ import numpy as np
 BASELINE_MS = 90.0
 
 
-def _watchdog_backend_init(timeout_s=180):
-    """The axon tunnel can go down for hours, hanging backend init forever;
-    fail fast with a diagnostic instead (nothing on stdout so a partial
-    metric line is never recorded)."""
-    import os
-    import threading
-
-    done = threading.Event()
-
-    def arm():
-        if not done.wait(timeout_s):
-            print(f"bench.py: TPU backend init timed out after {timeout_s}s "
-                  "(axon tunnel down?)", file=sys.stderr, flush=True)
-            os._exit(2)
-
-    threading.Thread(target=arm, daemon=True).start()
-    import jax
-    jax.devices()
-    done.set()
-
-
 def main():
-    from nmrf_tpu.utils.runtime import configure_jax
+    from nmrf_tpu.utils.runtime import backend_init_watchdog, configure_jax
 
     configure_jax()
-    _watchdog_backend_init()
+    # fail fast if the axon tunnel is down (nothing on stdout so a partial
+    # metric line is never recorded)
+    backend_init_watchdog()
     import jax
     import jax.numpy as jnp
 

@@ -24,9 +24,10 @@ import numpy as np
 
 
 def main():
-    from nmrf_tpu.utils.runtime import configure_jax
+    from nmrf_tpu.utils.runtime import backend_init_watchdog, configure_jax
 
     configure_jax()
+    backend_init_watchdog()
     import jax
     import jax.numpy as jnp
 

@@ -30,3 +30,32 @@ def configure_jax(cache_dir: str = "/root/.jax_cache",
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     if matmul_precision:
         jax.config.update("jax_default_matmul_precision", matmul_precision)
+
+
+def backend_init_watchdog(timeout_s: int = 180):
+    """Initialize the backend, failing FAST if it is unreachable.
+
+    The axon TPU relay can go down for hours; ``jax.devices()`` then hangs
+    forever inside a C++ RPC (unkillable by KeyboardInterrupt).  Arm a
+    watchdog thread around the first backend touch and hard-exit with a
+    diagnostic on timeout — long-running tools (convergence gate, benches,
+    profilers) prefer a clean retryable failure over a silent hang.
+    Returns the device list on success.
+    """
+    import sys
+    import threading
+
+    done = threading.Event()
+
+    def arm():
+        if not done.wait(timeout_s):
+            print(f"backend init timed out after {timeout_s}s "
+                  "(axon tunnel down?)", file=sys.stderr, flush=True)
+            os._exit(2)
+
+    threading.Thread(target=arm, daemon=True).start()
+    import jax
+
+    devices = jax.devices()
+    done.set()
+    return devices

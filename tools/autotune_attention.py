@@ -29,8 +29,9 @@ def main():
                     help="tiny shapes for a CPU interpret-mode smoke run")
     args = ap.parse_args()
 
-    from nmrf_tpu.utils.runtime import configure_jax
+    from nmrf_tpu.utils.runtime import backend_init_watchdog, configure_jax
     configure_jax()
+    backend_init_watchdog()
     import jax
     import jax.numpy as jnp
 

@@ -16,9 +16,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
-    from nmrf_tpu.utils.runtime import configure_jax
+    from nmrf_tpu.utils.runtime import backend_init_watchdog, configure_jax
 
     configure_jax()
+    backend_init_watchdog()
     import jax
     import jax.numpy as jnp
 

@@ -87,9 +87,10 @@ def main():
     if "--top" in argv:
         top = int(_take("--top"))
 
-    from nmrf_tpu.utils.runtime import configure_jax
+    from nmrf_tpu.utils.runtime import backend_init_watchdog, configure_jax
 
     configure_jax()
+    backend_init_watchdog()
     import jax
     import jax.numpy as jnp
 

@@ -25,9 +25,10 @@ from tools.train_convergence_gate import _flag, make_batch  # noqa: E402
 
 
 def main():
-    from nmrf_tpu.utils.runtime import configure_jax
+    from nmrf_tpu.utils.runtime import backend_init_watchdog, configure_jax
 
     configure_jax()
+    backend_init_watchdog()
     import jax
     import jax.numpy as jnp
 

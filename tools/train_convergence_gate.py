@@ -71,9 +71,10 @@ def make_batch(cfg, step, synth_max_disp, rng_base=1234, align=8):
 
 
 def main():
-    from nmrf_tpu.utils.runtime import configure_jax
+    from nmrf_tpu.utils.runtime import backend_init_watchdog, configure_jax
 
     configure_jax()
+    backend_init_watchdog()  # fail fast if the axon tunnel is down
     import jax
     import jax.numpy as jnp
 
