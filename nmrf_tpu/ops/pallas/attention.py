@@ -26,9 +26,14 @@ Block-diagonal packing: a grid cell processes WB windows as one R = WB*T
 token block.  For the refinement stage (T = 16) this is the difference
 between starving the MXU and feeding it [128, 128] tiles.
 
-Forward-only fusion: training takes the custom-VJP path which recomputes
-through the jnp reference (rematerialization instead of the reference's
-atomic CUDA backwards, ops/src/cuda/ms_deform_im2col_cuda.cuh:301-922).
+Training: fused Pallas BACKWARD kernels (r4) — each op's custom VJP
+recomputes the attention inside the backward kernel (flash-attention-style
+rematerialization; the TPU answer to the reference's atomic CUDA backwards,
+ops/src/cuda/ms_deform_im2col_cuda.cuh:301-922) instead of linearizing the
+dense jnp reference, which paid the dense forward twice plus [G, R, R]
+mask/attention HBM traffic.  ``NMRF_PALLAS_BWD=0`` restores the dense
+backward (A/B timing + remote-Mosaic insurance); interpret mode + the
+tests/test_pallas.py analytic-VJP and numeric gradchecks pin parity.
 """
 
 import functools
@@ -127,12 +132,62 @@ def _ma_fwd(q, k, v, mask, scale):
     return masked_attention(q, k, v, mask, scale), (q, k, v, mask)
 
 
+def _masked_attention_bwd_kernel(q_ref, k_ref, v_ref, g_ref, mask_ref,
+                                 dq_ref, dk_ref, dv_ref, *, scale):
+    """d(q, k, v) of one (group, head) block — recompute + softmax bwd."""
+    cd = jnp.float32 if q_ref.dtype == jnp.float32 else q_ref.dtype
+    _P = dict(_F32, precision=lax.Precision.HIGHEST) \
+        if q_ref.dtype == jnp.float32 else _F32
+    q = q_ref[0, 0].astype(cd) * scale                   # [Rq, hd]
+    k = k_ref[0, 0].astype(cd)
+    v = v_ref[0, 0]
+    g = g_ref[0, 0].astype(cd)
+    logits = lax.dot_general(q, k, (((1,), (1,)), ((), ())), **_P)
+    logits = logits + mask_ref[0]
+    mx = jnp.max(logits, axis=-1, keepdims=True)
+    e = jnp.exp(logits - mx)
+    attn = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(cd)
+    dattn = lax.dot_general(g, v.astype(cd), (((1,), (1,)), ((), ())), **_P)
+    dlog = attn * (dattn - jnp.sum(dattn * attn, axis=-1, keepdims=True))
+    dq_ref[0, 0] = (lax.dot_general(dlog, k, (((1,), (0,)), ((), ())),
+                                    **_P) * scale).astype(dq_ref.dtype)
+    dk_ref[0, 0] = lax.dot_general(dlog, q, (((0,), (0,)), ((), ())),
+                                   **_P).astype(dk_ref.dtype)
+    dv_ref[0, 0] = lax.dot_general(attn, g, (((0,), (0,)), ((), ())),
+                                   **_P).astype(dv_ref.dtype)
+
+
 def _ma_bwd(scale, res, g):
+    import os
+
     q, k, v, mask = res
-    _, vjp = jax.vjp(
-        lambda q, k, v: masked_attention_reference(q, k, v, mask, scale),
-        q, k, v)
-    dq, dk, dv = vjp(g)
+    if os.environ.get("NMRF_PALLAS_BWD", "1") == "0":
+        # escape hatch: pre-r4 dense backward
+        _, vjp = jax.vjp(
+            lambda q, k, v: masked_attention_reference(q, k, v, mask, scale),
+            q, k, v)
+        return vjp(g) + (None,)
+    interpret = jax.default_backend() == "cpu"
+    h, G, Rq, hd = q.shape
+    Rk = k.shape[2]
+    Gm = mask.shape[0]
+
+    def tok(R):
+        return pl.BlockSpec((1, 1, R, hd), lambda gg, i: (i, gg, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    msk = pl.BlockSpec((1, Rq, Rk), lambda gg, i: (gg % Gm, 0, 0),
+                       memory_space=pltpu.VMEM)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_masked_attention_bwd_kernel, scale=scale),
+        grid=(G, h),
+        in_specs=[tok(Rq), tok(Rk), tok(Rk), tok(Rq), msk],
+        out_specs=(tok(Rq), tok(Rk), tok(Rk)),
+        out_shape=(jax.ShapeDtypeStruct(q.shape, q.dtype),
+                   jax.ShapeDtypeStruct(k.shape, k.dtype),
+                   jax.ShapeDtypeStruct(v.shape, v.dtype)),
+        interpret=interpret,
+    )(q, k, v, g, mask)
     return dq, dk, dv, None
 
 
@@ -271,12 +326,105 @@ def _sa_fwd(q, k, v, mask, scale, H_sp, W_sp, num_heads, partition=False):
                                    partition=partition), (q, k, v, mask)
 
 
+def _stripe_bwd_kernel(q_ref, k_ref, v_ref, g_ref, mask_ref, dq_ref,
+                       dk_ref, dv_ref, *, scale, num_heads, hd):
+    """d(q, k, v) of one stripe — recompute + softmax backward in VMEM
+    (mirror of ``_stripe_attention_kernel``; heads unrolled)."""
+    x_q = q_ref[0, 0, :, 0]                         # [H_sp, W_sp*N, C]
+    T = x_q.shape[0] * x_q.shape[1]
+    C = num_heads * hd
+    q2 = x_q.reshape(T, C)
+    k2 = k_ref[0, 0, :, 0].reshape(T, C)
+    v2 = v_ref[0, 0, :, 0].reshape(T, C)
+    g2 = g_ref[0, 0, :, 0].reshape(T, C)
+    cd = jnp.float32 if q2.dtype == jnp.float32 else q2.dtype
+    _P = dict(_F32, precision=lax.Precision.HIGHEST) \
+        if q2.dtype == jnp.float32 else _F32
+    mask = mask_ref[:]
+    dqs, dks, dvs = [], [], []
+    for i in range(num_heads):
+        q = q2[:, i * hd:(i + 1) * hd].astype(cd) * scale
+        k = k2[:, i * hd:(i + 1) * hd].astype(cd)
+        v = v2[:, i * hd:(i + 1) * hd]
+        g = g2[:, i * hd:(i + 1) * hd].astype(cd)
+        logits = lax.dot_general(q, k, (((1,), (1,)), ((), ())), **_P)
+        logits = logits + mask
+        mx = jnp.max(logits, axis=-1, keepdims=True)
+        e = jnp.exp(logits - mx)
+        attn = e / jnp.sum(e, axis=-1, keepdims=True)
+        attn_c = attn.astype(cd)
+        dattn = lax.dot_general(g, v.astype(cd),
+                                (((1,), (1,)), ((), ())), **_P)
+        dlog = attn_c * (dattn
+                         - jnp.sum(dattn * attn_c, axis=-1, keepdims=True))
+        dqs.append(lax.dot_general(dlog, k, (((1,), (0,)), ((), ())),
+                                   **_P) * scale)
+        dks.append(lax.dot_general(dlog, q, (((0,), (0,)), ((), ())), **_P))
+        dvs.append(lax.dot_general(attn_c, g, (((0,), (0,)), ((), ())),
+                                   **_P))
+    sh = (*x_q.shape[:2], C)
+    dq_ref[0, 0, :, 0] = jnp.concatenate(dqs, -1).reshape(sh).astype(
+        dq_ref.dtype)
+    dk_ref[0, 0, :, 0] = jnp.concatenate(dks, -1).reshape(sh).astype(
+        dk_ref.dtype)
+    dv_ref[0, 0, :, 0] = jnp.concatenate(dvs, -1).reshape(sh).astype(
+        dv_ref.dtype)
+
+
+def _stripe_bwd_core(g, q, k, v, mask, *, scale, H_sp, W_sp, num_heads,
+                     interpret):
+    B, Hp, Wp, N, C = q.shape
+    ni, nj = Hp // H_sp, Wp // W_sp
+    hd = C // num_heads
+    T = H_sp * W_sp * N
+
+    def img(t):
+        return t.reshape(B, ni, H_sp, nj, W_sp * N, C)
+
+    blk = pl.BlockSpec((1, 1, H_sp, 1, W_sp * N, C),
+                       lambda b, i, j: (b, i, 0, j, 0, 0),
+                       memory_space=pltpu.VMEM)
+    msk = pl.BlockSpec((T, T), lambda b, i, j: (0, 0),
+                       memory_space=pltpu.VMEM)
+    shp = jax.ShapeDtypeStruct((B, ni, H_sp, nj, W_sp * N, C), q.dtype)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_stripe_bwd_kernel, scale=scale,
+                          num_heads=num_heads, hd=hd),
+        grid=(B, ni, nj),
+        in_specs=[blk, blk, blk, blk, msk],
+        out_specs=(blk, blk, blk),
+        out_shape=(shp, shp, shp),
+        interpret=interpret,
+    )(img(q), img(k), img(v), img(g), mask)
+    return tuple(t.reshape(B, Hp, Wp, N, C) for t in (dq, dk, dv))
+
+
+def _stripe_bwd_part(g, q, k, v, mask, **kw):
+    # stacked along axis 1 so the result keeps batch at dim 0 (the
+    # partitioning contract of shard_over_batch)
+    return jnp.stack(_stripe_bwd_core(g, q, k, v, mask, **kw), axis=1)
+
+
 def _sa_bwd(scale, H_sp, W_sp, num_heads, partition, res, g):
+    import os
+
     q, k, v, mask = res
-    _, vjp = jax.vjp(
-        lambda q, k, v: stripe_attention_reference(
-            q, k, v, mask, scale, H_sp, W_sp, num_heads), q, k, v)
-    dq, dk, dv = vjp(g)
+    if os.environ.get("NMRF_PALLAS_BWD", "1") == "0":
+        # escape hatch: pre-r4 dense backward (remat through jnp reference)
+        _, vjp = jax.vjp(
+            lambda q, k, v: stripe_attention_reference(
+                q, k, v, mask, scale, H_sp, W_sp, num_heads), q, k, v)
+        return vjp(g) + (None,)
+    interpret = jax.default_backend() == "cpu"
+    kw = dict(scale=scale, H_sp=H_sp, W_sp=W_sp, num_heads=num_heads,
+              interpret=interpret)
+    if partition:
+        from .partitioning import shard_over_batch
+
+        dqkv = shard_over_batch(_stripe_bwd_part, (0, 0, 0, 0, None), 6,
+                                (g, q, k, v, mask), tuple(sorted(kw.items())))
+        return dqkv[:, 0], dqkv[:, 1], dqkv[:, 2], None
+    dq, dk, dv = _stripe_bwd_core(g, q, k, v, mask, **kw)
     return dq, dk, dv, None
 
 
@@ -353,6 +501,33 @@ def hd_group_selectors(P, hd):
     return s_red, s_ch_c                         # [PH, P], [PH, hd]
 
 
+def _head_probs(q_s, k, ke, qe, selq, selst, sred, cellmask, _P, cd, P):
+    """Masked window-attention probabilities of one head (q PRE-scaled).
+
+    Shared by the forward kernels and the backward kernels' recompute —
+    identical math keeps the rematerialized softmax bit-consistent with
+    the forward."""
+    logits = lax.dot_general(q_s, k, (((1,), (1,)), ((), ())), **_P)
+    # qr[i, s] = q_i . k_embed[pixel(i), s]; spread over key tokens j by
+    # pixel(j) with the constant selector matmul
+    qtile = pltpu.repeat(q_s, P, 1)                        # [R, P*hd]
+    qr = lax.dot_general(ke.astype(cd) * qtile, sred,
+                         (((1,), (0,)), ((), ())), **_P)   # [R, P]
+    logits = logits + lax.dot_general(
+        qr, selst, (((1,), (0,)), ((), ())), **_P)
+    # kr[j, p] = k_j . (q_embed[p, pixel(j)] * scale)
+    ktile = pltpu.repeat(k, P, 1)
+    kr = lax.dot_general(qe.astype(cd) * ktile, sred,
+                         (((1,), (0,)), ((), ())), **_P)   # [R, P]
+    logits = logits + lax.dot_general(
+        selq, kr, (((1,), (1,)), ((), ())), **_P)
+
+    logits = logits + cellmask
+    mx = jnp.max(logits, axis=-1, keepdims=True)
+    e = jnp.exp(logits - mx)
+    return e / jnp.sum(e, axis=-1, keepdims=True)
+
+
 def _attend_head(q, k, v, ke, qe, ve_c, selq, selst, sred, sch_c,
                  cellmask, scale, _P, cd, P, hd):
     """One head's windowed attention on [R, hd] tokens.
@@ -370,25 +545,7 @@ def _attend_head(q, k, v, ke, qe, ve_c, selq, selst, sred, sch_c,
     """
     q = q.astype(cd) * scale
     k = k.astype(cd)
-    logits = lax.dot_general(q, k, (((1,), (1,)), ((), ())), **_P)
-    # qr[i, s] = q_i . k_embed[pixel(i), s]; spread over key tokens j by
-    # pixel(j) with the constant selector matmul
-    qtile = pltpu.repeat(q, P, 1)                          # [R, P*hd]
-    qr = lax.dot_general(ke.astype(cd) * qtile, sred,
-                         (((1,), (0,)), ((), ())), **_P)   # [R, P]
-    logits = logits + lax.dot_general(
-        qr, selst, (((1,), (0,)), ((), ())), **_P)
-    # kr[j, p] = k_j . (q_embed[p, pixel(j)] * scale)
-    ktile = pltpu.repeat(k, P, 1)
-    kr = lax.dot_general(qe.astype(cd) * ktile, sred,
-                         (((1,), (0,)), ((), ())), **_P)   # [R, P]
-    logits = logits + lax.dot_general(
-        selq, kr, (((1,), (1,)), ((), ())), **_P)
-
-    logits = logits + cellmask
-    mx = jnp.max(logits, axis=-1, keepdims=True)
-    e = jnp.exp(logits - mx)
-    attn = e / jnp.sum(e, axis=-1, keepdims=True)
+    attn = _head_probs(q, k, ke, qe, selq, selst, sred, cellmask, _P, cd, P)
     out = lax.dot_general(attn.astype(v.dtype), v,
                           (((1,), (0,)), ((), ())), **_P)
     # value-table term: attention mass per key pixel, channel-tiled, then
@@ -752,6 +909,375 @@ def window_attention_native_reference(qkv, ke_flat, qe_flat, ve_flat, shift,
     return out.reshape(B, Hp, Wp, N, h * hd)
 
 
+# --------------------------------------------------------------------------- #
+# Window-native attention: fused Pallas BACKWARD
+# --------------------------------------------------------------------------- #
+#
+# Training previously rematerialized through the jnp reference above: the
+# backward paid the DENSE forward twice (linearize + VJP) including the
+# [B*G0, R, R] f32 mask/attention tensors in HBM that the forward kernel
+# specifically eliminated (the dense formulation measured ~18% slower
+# full-model; the train step runs it 2x per layer).  These kernels give the
+# backward the same treatment as the forward:
+#
+#   * ``_wan_bwd_dx_kernel``  — grid (B, nwh, nwwB), heads unrolled
+#     in-kernel, direct image-layout blocks: recomputes the attention
+#     probabilities with ``_head_probs`` (identical math = bit-consistent
+#     remat) and emits d(qkv) in image layout.
+#   * ``_wan_bwd_tbl_kernel`` — per-head grid, f32 accumulation of the
+#     positional-table cotangents d(ke)/d(qe)/d(ve) across sequential grid
+#     revisits (one [3, h, R, PH] output, constant index map over the
+#     trailing grid dims).  Under batch partitioning the accumulator gains
+#     a leading batch dim instead and the cross-shard reduction happens in
+#     the (sharded) ``sum`` outside — the same gradient volume the dense
+#     backward's expanded-table cotangents already cost (bench_scaling's
+#     [1x, 1.75x] all-reduce contract).
+#
+# All contractions are 2-D dots mirroring the forward's selector algebra;
+# the backward needs four more constant 0/1 selectors (``_bwd_selectors``):
+# transposed expansions (sredT, sch_cT) and the complementary lane-group
+# reducers (c_red: (s, c)-major lane -> channel; p_red: (c, s)-major lane
+# -> pixel).
+
+def _bwd_selectors(P, hd):
+    """Constant selectors for the backward's lane-group algebra."""
+    PH = P * hd
+    s_ids = np.repeat(np.arange(P), hd)      # (s, c) s-major lane -> pixel
+    c_ids = np.tile(np.arange(hd), P)        # (s, c) s-major lane -> channel
+    c_ids_c = np.repeat(np.arange(hd), P)    # (c, s) c-major lane -> channel
+    s_ids_c = np.tile(np.arange(P), hd)      # (c, s) c-major lane -> pixel
+    sredT = (np.arange(P)[:, None] == s_ids[None, :]).astype(np.float32)
+    c_red = (c_ids[:, None] == np.arange(hd)[None, :]).astype(np.float32)
+    sch_cT = (np.arange(hd)[:, None] == c_ids_c[None, :]).astype(np.float32)
+    p_red = (s_ids_c[:, None] == np.arange(P)[None, :]).astype(np.float32)
+    assert sredT.shape == (P, PH) and c_red.shape == (PH, hd)
+    assert sch_cT.shape == (hd, PH) and p_red.shape == (PH, P)
+    return (jnp.asarray(sredT), jnp.asarray(c_red),
+            jnp.asarray(sch_cT), jnp.asarray(p_red))
+
+
+def _bwd_head_core(q_s, k, v, ke, qe, ve_c, g, selq, selst, sred, sredT,
+                   c_red, sch_cT, p_red, cellmask, scale, _P, cd, P, hd,
+                   want_dx, want_tbl):
+    """One head's backward on [R, hd] tokens (q_s PRE-scaled, like fwd).
+
+    Returns (dq, dk, dv, dke, dqe, dve_c) with the dx/table halves gated by
+    ``want_dx``/``want_tbl`` (None where skipped).  d(q) is the cotangent
+    of the UNSCALED q; d(qe) of the scale-folded table exactly as passed.
+    """
+    attn = _head_probs(q_s, k, ke, qe, selq, selst, sred, cellmask,
+                       _P, cd, P)
+    attn_c = attn.astype(cd)
+    g = g.astype(cd)
+    # value-table branch: gexp[i, c*P+s] = g[i, c] (channel-major lanes)
+    gexp = lax.dot_general(g, sch_cT.astype(cd),
+                           (((1,), (0,)), ((), ())), **_P)     # [R, hd*P]
+    datt_s = lax.dot_general((gexp * ve_c.astype(cd)), p_red.astype(cd),
+                             (((1,), (0,)), ((), ())), **_P)   # [R, P]
+    # d(attn) = g v^T + spread of the per-pixel value-table mass
+    dattn = lax.dot_general(g, v.astype(cd),
+                            (((1,), (1,)), ((), ())), **_P)
+    dattn = dattn + lax.dot_general(datt_s, selst,
+                                    (((1,), (0,)), ((), ())), **_P)
+    # softmax backward
+    dlog = attn_c * (dattn - jnp.sum(dattn * attn_c, axis=-1, keepdims=True))
+    # positional-logit branches (fwd: logits += qr @ selst + selq @ kr^T)
+    dqr = lax.dot_general(dlog, selq, (((1,), (0,)), ((), ())), **_P)
+    dprod_q = lax.dot_general(dqr, sredT.astype(cd),
+                              (((1,), (0,)), ((), ())), **_P)  # [R, PH]
+    dkr = lax.dot_general(dlog, selq, (((0,), (0,)), ((), ())), **_P)
+    dprod_k = lax.dot_general(dkr, sredT.astype(cd),
+                              (((1,), (0,)), ((), ())), **_P)  # [R, PH]
+
+    dq = dk = dv = dke = dqe = dve_c = None
+    if want_dx:
+        dq_s = lax.dot_general(dlog, k, (((1,), (0,)), ((), ())), **_P)
+        dq_s = dq_s + lax.dot_general(dprod_q * ke.astype(cd),
+                                      c_red.astype(cd),
+                                      (((1,), (0,)), ((), ())), **_P)
+        dq = dq_s * scale
+        dk = lax.dot_general(dlog, q_s, (((0,), (0,)), ((), ())), **_P)
+        dk = dk + lax.dot_general(dprod_k * qe.astype(cd),
+                                  c_red.astype(cd),
+                                  (((1,), (0,)), ((), ())), **_P)
+        dv = lax.dot_general(attn_c, g, (((0,), (0,)), ((), ())), **_P)
+    if want_tbl:
+        attn_sT = lax.dot_general(attn_c, selq,
+                                  (((1,), (0,)), ((), ())), **_P)  # [R, P]
+        dke = dprod_q * pltpu.repeat(q_s, P, 1)
+        dqe = dprod_k * pltpu.repeat(k, P, 1)
+        dve_c = gexp * pltpu.repeat(attn_sT, hd, 1)
+    return dq, dk, dv, dke, dqe, dve_c
+
+
+def _wan_bwd_dx_kernel(shift_ref, x_ref, g_ref, ke_ref, qe_ref, ve_ref,
+                       selq_ref, selst_ref, sred_ref, sredT_ref, cred_ref,
+                       schT_ref, pred_ref, mask_ref, dx_ref, *, scale, wh,
+                       ww, WB, N, Hp, Wp, neg, exact, num_heads, hd):
+    """d(qkv) of one grid cell, direct image layout (mirror of the forward
+    ``_window_native_kernel_direct``)."""
+    _P = dict(_F32, precision=lax.Precision.HIGHEST) if exact else _F32
+    cd = jnp.float32 if exact else x_ref.dtype
+    h = num_heads
+    x = x_ref[0, 0, :, 0]                             # [wh, T, 3C]
+    T = x.shape[1]
+    R = wh * T
+    x2 = x.reshape(R, 3 * h * hd)
+    g2 = g_ref[0, 0, :, 0].reshape(R, h * hd)
+    cellmask = mask_ref[:] + _shifted_region_mask(
+        shift_ref[0], shift_ref[1], pl.program_id(1), pl.program_id(2),
+        R, wh, ww, WB, N, Hp, Wp, neg)
+    sred = sred_ref[:].astype(cd)
+    P = wh * ww
+    parts = []
+    for i in range(h):                  # channel order (component, head, hd)
+        q_s = x2[:, i * hd:(i + 1) * hd].astype(cd) * scale
+        k = x2[:, (h + i) * hd:(h + i + 1) * hd].astype(cd)
+        v = x2[:, (2 * h + i) * hd:(2 * h + i + 1) * hd]
+        dq, dk, dv, _, _, _ = _bwd_head_core(
+            q_s, k, v, ke_ref[i], qe_ref[i], ve_ref[i],
+            g2[:, i * hd:(i + 1) * hd], selq_ref[:], selst_ref[:], sred,
+            sredT_ref[:], cred_ref[:], schT_ref[:], pred_ref[:], cellmask,
+            scale, _P, cd, P, hd, True, False)
+        parts.append((dq, dk, dv))
+    dx = jnp.concatenate([p[0] for p in parts] + [p[1] for p in parts]
+                         + [p[2] for p in parts], axis=-1)   # [R, 3C]
+    dx_ref[0, 0, :, 0] = dx.reshape(wh, T, 3 * h * hd).astype(dx_ref.dtype)
+
+
+def _wan_bwd_tbl_kernel(shift_ref, q_ref, k_ref, v_ref, g_ref, ke_ref,
+                        qe_ref, ve_ref, selq_ref, selst_ref, sred_ref,
+                        sredT_ref, cred_ref, schT_ref, pred_ref, mask_ref,
+                        dtbl_ref, *, scale, wh, ww, WB, N, Hp, Wp, neg,
+                        exact, hd, batch_out):
+    """Positional-table cotangents, accumulated in f32 across grid revisits.
+
+    Output block [3, R, PH] (stacked dke/dqe/dve) indexed by head only
+    (``batch_out=False``: accumulate over B and the window grid) or by
+    (batch, head) (``batch_out=True``: per-batch-element partials for the
+    SPMD-partitioned path; the sharded sum outside carries the cross-shard
+    reduction).
+    """
+    _P = dict(_F32, precision=lax.Precision.HIGHEST) if exact else _F32
+    cd = jnp.float32 if exact else q_ref.dtype
+    q = q_ref[0, 0, 0, :, 0]                          # [wh, T, hd]
+    T = q.shape[1]
+    R = wh * T
+    q_s = q.reshape(R, hd).astype(cd) * scale
+    k = k_ref[0, 0, 0, :, 0].reshape(R, hd).astype(cd)
+    v = v_ref[0, 0, 0, :, 0].reshape(R, hd)
+    g = g_ref[0, 0, 0, :, 0].reshape(R, hd)
+    cellmask = mask_ref[:] + _shifted_region_mask(
+        shift_ref[0], shift_ref[1], pl.program_id(2), pl.program_id(3),
+        R, wh, ww, WB, N, Hp, Wp, neg)
+    P = wh * ww
+    _, _, _, dke, dqe, dve_c = _bwd_head_core(
+        q_s, k, v, ke_ref[0], qe_ref[0], ve_ref[0], g, selq_ref[:],
+        selst_ref[:], sred_ref[:].astype(cd), sredT_ref[:], cred_ref[:],
+        schT_ref[:], pred_ref[:], cellmask, scale, _P, cd, P, hd,
+        False, True)
+    upd = jnp.stack([dke.astype(jnp.float32), dqe.astype(jnp.float32),
+                     dve_c.astype(jnp.float32)])      # [3, R, PH]
+    if batch_out:
+        first = (pl.program_id(2) == 0) & (pl.program_id(3) == 0)
+    else:
+        first = ((pl.program_id(1) == 0) & (pl.program_id(2) == 0)
+                 & (pl.program_id(3) == 0))
+
+    @pl.when(first)
+    def _():
+        dtbl_ref[...] = jnp.zeros(dtbl_ref.shape, dtbl_ref.dtype)
+
+    if batch_out:
+        dtbl_ref[0, :, 0] += upd
+    else:
+        dtbl_ref[:, 0] += upd
+
+
+def _wan_bwd_core(g, qkv, ke_flat, qe_flat, ve_flat, shift, row0,
+                  sel, selT, s_red, s_ch_c, basemask, sredT, c_red, sch_cT,
+                  p_red, *, scale, wh, ww, WB, num_heads, candidate_mask,
+                  neg, interpret, hp_total, batch_out):
+    """Both backward pallas_calls; returns (dqkv, dke, dqe, dve).
+
+    With ``batch_out`` the table grads keep a leading batch dim (summed by
+    the caller) so the op stays batch-partitionable end to end.
+    """
+    B, Hp, Wp, N, C3 = qkv.shape
+    if hp_total is None:
+        hp_total = Hp
+    h = num_heads
+    hd = C3 // (3 * h)
+    P = wh * ww
+    WBww = WB * ww
+    T = WBww * N
+    R = wh * T
+    PH = P * hd
+    nwh = Hp // wh
+    nwwB = Wp // WBww
+    exact = qkv.dtype == jnp.float32
+
+    shift_arr = jnp.stack([jnp.asarray(shift, jnp.int32).reshape(()),
+                           jnp.asarray(row0, jnp.int32).reshape(())])
+    x = qkv.reshape(B, nwh, wh, nwwB, T, C3)
+    g6 = g.reshape(B, nwh, wh, nwwB, T, h * hd)
+    tbl = pl.BlockSpec((h, R, PH), lambda b, gh, gw: (0, 0, 0),
+                       memory_space=pltpu.VMEM)
+    cst3 = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda b, gh, gw: tuple(0 for _ in shape),
+        memory_space=pltpu.VMEM)
+    dx_kernel = functools.partial(
+        _wan_bwd_dx_kernel, scale=scale, wh=wh, ww=ww, WB=WB, N=N,
+        Hp=hp_total, Wp=Wp, neg=neg, exact=exact, num_heads=h, hd=hd)
+    dx = pl.pallas_call(
+        dx_kernel,
+        grid=(B, nwh, nwwB),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, wh, 1, T, C3),
+                         lambda b, gh, gw: (b, gh, 0, gw, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, wh, 1, T, h * hd),
+                         lambda b, gh, gw: (b, gh, 0, gw, 0, 0),
+                         memory_space=pltpu.VMEM),
+            tbl, tbl, tbl,
+            cst3((R, P)), cst3((P, R)), cst3((PH, P)), cst3((P, PH)),
+            cst3((PH, hd)), cst3((hd, PH)), cst3((PH, P)), cst3((R, R)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, wh, 1, T, C3),
+                               lambda b, gh, gw: (b, gh, 0, gw, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, nwh, wh, nwwB, T, C3),
+                                       qkv.dtype),
+        interpret=interpret,
+    )(shift_arr, x, g6, ke_flat, qe_flat, ve_flat, sel, selT, s_red, sredT,
+      c_red, sch_cT, p_red, basemask)
+    dqkv = dx.reshape(B, Hp, Wp, N, C3)
+
+    # ---- table grads: per-head grid, f32 revisit accumulation ---- #
+    # head-major copies: Mosaic requires the last two block dims full (or
+    # (8, 128)-aligned), so the per-head channel selection must be a
+    # LEADING blocked axis — two qkv-sized transposes per backward call
+    # (~0.1 ms at production shapes, amortized across the whole stack)
+    x8 = qkv.reshape(B, nwh, wh, nwwB, T, 3 * h, hd).transpose(
+        5, 0, 1, 2, 3, 4, 6)                    # [3h, B, nwh, wh, nwwB, T, hd]
+    g8 = g.reshape(B, nwh, wh, nwwB, T, h, hd).transpose(
+        5, 0, 1, 2, 3, 4, 6)                    # [h, B, nwh, wh, nwwB, T, hd]
+    blk7 = (1, 1, 1, wh, 1, T, hd)
+    if batch_out:
+        grid = (B, h, nwh, nwwB)
+        comp = lambda c: pl.BlockSpec(  # noqa: E731
+            blk7, lambda b, i, gh, gw, c=c: (c * h + i, b, gh, 0, gw, 0, 0),
+            memory_space=pltpu.VMEM)
+        gsp = pl.BlockSpec(blk7,
+                           lambda b, i, gh, gw: (i, b, gh, 0, gw, 0, 0),
+                           memory_space=pltpu.VMEM)
+        tb1 = pl.BlockSpec((1, R, PH), lambda b, i, gh, gw: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+        cst = lambda shape: pl.BlockSpec(  # noqa: E731
+            shape, lambda b, i, gh, gw: tuple(0 for _ in shape),
+            memory_space=pltpu.VMEM)
+        out_spec = pl.BlockSpec((1, 3, 1, R, PH),
+                                lambda b, i, gh, gw: (b, 0, i, 0, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((B, 3, h, R, PH), jnp.float32)
+    else:
+        grid = (h, B, nwh, nwwB)
+        comp = lambda c: pl.BlockSpec(  # noqa: E731
+            blk7, lambda i, b, gh, gw, c=c: (c * h + i, b, gh, 0, gw, 0, 0),
+            memory_space=pltpu.VMEM)
+        gsp = pl.BlockSpec(blk7,
+                           lambda i, b, gh, gw: (i, b, gh, 0, gw, 0, 0),
+                           memory_space=pltpu.VMEM)
+        tb1 = pl.BlockSpec((1, R, PH), lambda i, b, gh, gw: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+        cst = lambda shape: pl.BlockSpec(  # noqa: E731
+            shape, lambda i, b, gh, gw: tuple(0 for _ in shape),
+            memory_space=pltpu.VMEM)
+        out_spec = pl.BlockSpec((3, 1, R, PH),
+                                lambda i, b, gh, gw: (0, i, 0, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((3, h, R, PH), jnp.float32)
+
+    tbl_kernel = functools.partial(
+        _wan_bwd_tbl_kernel, scale=scale, wh=wh, ww=ww, WB=WB, N=N,
+        Hp=hp_total, Wp=Wp, neg=neg, exact=exact, hd=hd,
+        batch_out=batch_out)
+    dtbl = pl.pallas_call(
+        tbl_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            comp(0), comp(1), comp(2), gsp,
+            tb1, tb1, tb1,
+            cst((R, P)), cst((P, R)), cst((PH, P)), cst((P, PH)),
+            cst((PH, hd)), cst((hd, PH)), cst((PH, P)), cst((R, R)),
+        ],
+        out_specs=out_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(shift_arr, x8, x8, x8, g8, ke_flat, qe_flat, ve_flat, sel, selT,
+      s_red, sredT, c_red, sch_cT, p_red, basemask)
+    # batch_out: [B, 3, h, R, PH] per-sample partials (caller sums — under
+    # SPMD the sharded-dim sum IS the cross-shard reduction);
+    # else: [3, h, R, PH] fully accumulated in-kernel
+    return dqkv, dtbl
+
+
+def _wan_bwd_dx_part(g, qkv, ke_flat, qe_flat, ve_flat, shift, row0,
+                     sel, selT, s_red, s_ch_c, basemask, sredT, c_red,
+                     sch_cT, p_red, **kw):
+    return _wan_bwd_core(g, qkv, ke_flat, qe_flat, ve_flat, shift, row0,
+                         sel, selT, s_red, s_ch_c, basemask, sredT, c_red,
+                         sch_cT, p_red, batch_out=True, **kw)[0]
+
+
+def _wan_bwd_tbl_part(g, qkv, ke_flat, qe_flat, ve_flat, shift, row0,
+                      sel, selT, s_red, s_ch_c, basemask, sredT, c_red,
+                      sch_cT, p_red, **kw):
+    return _wan_bwd_core(
+        g, qkv, ke_flat, qe_flat, ve_flat, shift, row0, sel, selT, s_red,
+        s_ch_c, basemask, sredT, c_red, sch_cT, p_red, batch_out=True,
+        **kw)[1]
+
+
+def window_attention_native_bwd(g, qkv, ke_flat, qe_flat, ve_flat, shift,
+                                row0, scale, wh, ww, WB, num_heads,
+                                candidate_mask, neg, hp_total,
+                                partition=False, interpret=None):
+    """Fused backward of :func:`window_attention_native` (direct layout)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    N = int(qkv.shape[3])
+    hd = int(qkv.shape[4]) // (3 * num_heads)
+    consts = _wan_consts(wh, ww, WB, N, hd, candidate_mask, neg)
+    bsel = _bwd_selectors(wh * ww, hd)
+    kw = dict(scale=scale, wh=wh, ww=ww, WB=WB, num_heads=num_heads,
+              candidate_mask=candidate_mask, neg=neg, interpret=interpret,
+              hp_total=hp_total)
+    if not partition:
+        dqkv, dtbl = _wan_bwd_core(g, qkv, ke_flat, qe_flat, ve_flat,
+                                   shift, row0, *consts, *bsel,
+                                   batch_out=False, **kw)
+    else:
+        # batch-partitioned path: dqkv is embarrassingly batch-parallel;
+        # the per-sample table partials carry a leading batch dim whose
+        # sharded sum below inserts the cross-shard reduction (same
+        # gradient volume the dense backward already cost)
+        from .partitioning import shard_over_batch
+
+        args = (g, qkv, ke_flat, qe_flat, ve_flat,
+                jnp.asarray(shift, jnp.int32),
+                jnp.asarray(row0, jnp.int32)) + consts + bsel
+        bdims = (0, 0) + (None,) * (len(args) - 2)
+        statics = tuple(sorted(kw.items()))
+        dqkv = shard_over_batch(_wan_bwd_dx_part, bdims, 5, args, statics)
+        dtbl = shard_over_batch(_wan_bwd_tbl_part, bdims, 5, args,
+                                statics).sum(axis=0)
+    return (dqkv, dtbl[0].astype(ke_flat.dtype),
+            dtbl[1].astype(qe_flat.dtype), dtbl[2].astype(ve_flat.dtype))
+
+
 @functools.partial(jax.custom_vjp,
                    nondiff_argnums=(6, 7, 8, 9, 10, 11, 12, 13, 14))
 def window_attention_native_op(qkv, ke_flat, qe_flat, ve_flat,
@@ -777,12 +1303,21 @@ def _wan_fwd(qkv, ke_flat, qe_flat, ve_flat, shift, row0, scale, wh, ww,
 def _wan_bwd(scale, wh, ww, WB, num_heads, candidate_mask, neg, hp_total,
              partition, res, g):
     qkv, ke_flat, qe_flat, ve_flat, shift, row0 = res
-    _, vjp = jax.vjp(
-        lambda qkv, ke, qe, ve: window_attention_native_reference(
-            qkv, ke, qe, ve, shift, scale, wh, ww, WB,
-            num_heads, candidate_mask, neg, row0=row0, hp_total=hp_total),
-        qkv, ke_flat, qe_flat, ve_flat)
-    dqkv, dke, dqe, dve = vjp(g)
+    import os
+
+    if os.environ.get("NMRF_PALLAS_BWD", "1") == "0":
+        # escape hatch: the pre-r4 dense backward (rematerialize + VJP
+        # through the jnp reference) — for A/B timing and as insurance
+        # against remote-Mosaic compile regressions at new shapes
+        _, vjp = jax.vjp(
+            lambda qkv, ke, qe, ve: window_attention_native_reference(
+                qkv, ke, qe, ve, shift, scale, wh, ww, WB, num_heads,
+                candidate_mask, neg, row0=row0, hp_total=hp_total),
+            qkv, ke_flat, qe_flat, ve_flat)
+        return vjp(g) + (None, None)
+    dqkv, dke, dqe, dve = window_attention_native_bwd(
+        g, qkv, ke_flat, qe_flat, ve_flat, shift, row0, scale, wh, ww,
+        WB, num_heads, candidate_mask, neg, hp_total, partition=partition)
     return dqkv, dke, dqe, dve, None, None
 
 

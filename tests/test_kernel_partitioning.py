@@ -167,3 +167,41 @@ def test_dp_train_step_grad_matches_with_partitioned_kernels():
     for a, b in zip(gp, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_window_native_dp_grad_with_pallas_backward():
+    """The r4 fused Pallas BACKWARD under batch partitioning: a 4-way DP
+    value_and_grad through window_attention_native_op (dx kernel sharded;
+    per-sample table partials summed across shards) equals the
+    single-device result, including the positional-table cotangents."""
+    from nmrf_tpu.ops.pallas.attention import window_attention_native_op
+
+    B, H, W, N, dim, heads, ws, WB = 4, 8, 12, 2, 16, 2, 4, 3
+    hd = dim // heads
+    scale = hd ** -0.5
+    Pw = ws * ws
+    R = ws * WB * ws * N
+    rng = np.random.RandomState(7)
+    qkv = jnp.asarray(rng.randn(B, H, W, N, 3 * dim).astype(np.float32))
+    ke, qe, ve = (jnp.asarray(
+        (rng.randn(heads, R, Pw * hd) * 0.1).astype(np.float32))
+        for _ in range(3))
+
+    def loss(qkv, ke, qe, ve, part):
+        out = window_attention_native_op(
+            qkv, ke, qe, ve, 2, 0, scale, ws, ws, WB, heads, True,
+            -1e9, None, part)
+        return (out * out).sum()
+
+    lr, gr = jax.value_and_grad(
+        lambda *a: loss(*a, False), argnums=(0, 1, 2, 3))(qkv, ke, qe, ve)
+
+    mesh = dp_mesh()
+    qs = jax.device_put(qkv, NamedSharding(mesh, P("data")))
+    lp, gp = jax.jit(jax.value_and_grad(
+        lambda *a: loss(*a, True), argnums=(0, 1, 2, 3)))(qs, ke, qe, ve)
+
+    np.testing.assert_allclose(float(lp), float(lr), rtol=1e-5)
+    for name, a, b in zip(("dqkv", "dke", "dqe", "dve"), gp, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4, err_msg=name)

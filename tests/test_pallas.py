@@ -239,3 +239,130 @@ class TestWindowNative:
                 qkv, ke, qe, ve, 2, 0, scale, ws, ws, WB, heads,
                 False) ** 2),
             (qkv, ke, qe, ve), eps=1e-2, atol=5e-3, rtol=5e-3)
+
+
+class TestWindowNativeBackwardKernel:
+    """Fused Pallas backward (r4) vs the dense reference VJP.
+
+    The cotangents of (qkv, ke, qe, ve) from ``window_attention_native_bwd``
+    (dx kernel + f32-accumulating table kernel, interpret mode) must match
+    ``jax.vjp`` through ``window_attention_native_reference`` — the exact
+    backward the op shipped before."""
+
+    def _data(self, dtype=np.float32, B=2):
+        H, W, N, dim, heads, ws, WB = 8, 24, 2, 16, 2, 4, 3
+        hd = dim // heads
+        P = ws * ws
+        R = ws * WB * ws * N
+        rng = np.random.RandomState(0)
+        qkv = jnp.asarray(rng.randn(B, H, W, N, 3 * dim).astype(dtype))
+        tbls = tuple(jnp.asarray(
+            (rng.randn(heads, R, P * hd) * 0.1).astype(dtype))
+            for _ in range(3))
+        g = jnp.asarray(rng.randn(B, H, W, N, dim).astype(dtype))
+        scale = hd ** -0.5
+        return qkv, tbls, g, scale, ws, WB, heads
+
+    @pytest.mark.parametrize("shift,cm", [(0, True), (2, True), (2, False)])
+    def test_matches_reference_vjp(self, shift, cm):
+        qkv, (ke, qe, ve), g, scale, ws, WB, heads = self._data()
+        _, vjp = jax.vjp(
+            lambda qkv, ke, qe, ve: fa.window_attention_native_reference(
+                qkv, ke, qe, ve, shift, scale, ws, ws, WB, heads, cm),
+            qkv, ke, qe, ve)
+        want = vjp(g)
+        got = fa.window_attention_native_bwd(
+            g, qkv, ke, qe, ve, shift, 0, scale, ws, ws, WB, heads, cm,
+            -1e9, None)
+        for name, a, b in zip(("dqkv", "dke", "dqe", "dve"), got, want):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-5, atol=2e-5, err_msg=name)
+
+    def test_sharded_row0(self):
+        """Global-coordinate shifted-region mask in the backward: a tile at
+        row offset row0 of a taller global image."""
+        qkv, (ke, qe, ve), g, scale, ws, WB, heads = self._data()
+        _, vjp = jax.vjp(
+            lambda qkv, ke, qe, ve: fa.window_attention_native_reference(
+                qkv, ke, qe, ve, 2, scale, ws, ws, WB, heads, True,
+                row0=8, hp_total=16),
+            qkv, ke, qe, ve)
+        want = vjp(g)
+        got = fa.window_attention_native_bwd(
+            g, qkv, ke, qe, ve, 2, 8, scale, ws, ws, WB, heads, True,
+            -1e9, 16)
+        for name, a, b in zip(("dqkv", "dke", "dqe", "dve"), got, want):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-5, atol=2e-5, err_msg=name)
+
+    def test_bf16(self):
+        """bf16 primals: table grads accumulate in f32 inside the kernel —
+        compare against the f32 reference VJP of the same (bf16-rounded)
+        inputs at bf16-appropriate tolerance."""
+        qkv, (ke, qe, ve), g, scale, ws, WB, heads = self._data(
+            dtype=np.float32)
+        bf = jnp.bfloat16
+        qkvb, keb, qeb, veb, gb = (t.astype(bf) for t in (qkv, ke, qe, ve, g))
+        _, vjp = jax.vjp(
+            lambda qkv, ke, qe, ve: fa.window_attention_native_reference(
+                qkv, ke, qe, ve, 2, scale, ws, ws, WB, heads, True),
+            qkvb.astype(jnp.float32), keb.astype(jnp.float32),
+            qeb.astype(jnp.float32), veb.astype(jnp.float32))
+        want = vjp(gb.astype(jnp.float32))
+        got = fa.window_attention_native_bwd(
+            gb, qkvb, keb, qeb, veb, 2, 0, scale, ws, ws, WB, heads, True,
+            -1e9, None)
+        for name, a, b in zip(("dqkv", "dke", "dqe", "dve"), got, want):
+            b = np.asarray(b)
+            tol = 0.05 * float(np.abs(b).max())
+            np.testing.assert_allclose(
+                np.asarray(a).astype(np.float32), b, atol=tol, err_msg=name)
+
+
+class TestFusedBackwardParity:
+    """r4 Pallas backwards of the stripe / masked-attention ops vs the
+    dense reference VJPs (analytic, tighter than the numeric gradchecks)."""
+
+    def test_stripe_bwd_matches_reference(self):
+        B, Hp, Wp, N, C, heads, H_sp, W_sp = 2, 8, 6, 3, 32, 2, 8, 2
+        rng = np.random.RandomState(3)
+        q, k, v = (jnp.asarray(rng.randn(B, Hp, Wp, N, C).astype(np.float32))
+                   for _ in range(3))
+        T = H_sp * W_sp * N
+        mask = jnp.asarray(rng.randn(T, T).astype(np.float32))
+
+        def f_op(q, k, v):
+            return (fa.stripe_attention_op(
+                q, k, v, mask, 0.25, H_sp, W_sp, heads) ** 2).sum()
+
+        def f_ref(q, k, v):
+            return (fa.stripe_attention_reference(
+                q, k, v, mask, 0.25, H_sp, W_sp, heads) ** 2).sum()
+
+        got = jax.grad(f_op, argnums=(0, 1, 2))(q, k, v)
+        want = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+        for name, a, b in zip("qkv", got, want):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-5, atol=2e-5, err_msg=name)
+
+    def test_masked_bwd_matches_reference_rect(self):
+        """Rectangular Rk > Rq (the all-gathered sharded-stripe case)."""
+        h, G, Rq, Rk, hd = 2, 3, 8, 24, 16
+        rng = np.random.RandomState(4)
+        q = jnp.asarray(rng.randn(h, G, Rq, hd).astype(np.float32))
+        k = jnp.asarray(rng.randn(h, G, Rk, hd).astype(np.float32))
+        v = jnp.asarray(rng.randn(h, G, Rk, hd).astype(np.float32))
+        mask = jnp.asarray(rng.randn(1, Rq, Rk).astype(np.float32))
+
+        def f_op(q, k, v):
+            return (fa.masked_attention_op(q, k, v, mask, 0.3) ** 2).sum()
+
+        def f_ref(q, k, v):
+            return (fa.masked_attention_reference(q, k, v, mask, 0.3)
+                    ** 2).sum()
+
+        got = jax.grad(f_op, argnums=(0, 1, 2))(q, k, v)
+        want = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+        for name, a, b in zip("qkv", got, want):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-5, atol=2e-5, err_msg=name)
