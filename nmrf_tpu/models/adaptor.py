@@ -271,7 +271,16 @@ class SwinAdaptor(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        x = (x - _IMAGENET_MEAN) / _IMAGENET_STD  # out-of-place (defect §2.9.7 fixed)
+        # out-of-place (defect §2.9.7 fixed).  On the bf16 path the
+        # normalize runs in bf16: [H, W, 3] tensors lane-pad 3 -> 128 (42x
+        # HBM bloat), so every full-res elementwise pass costs ~0.4 ms at
+        # KITTI size — bf16 halves it and the downstream cast disappears
+        # (profiled r4; the f32 parity path is unchanged).
+        if self.dtype is not None:
+            x = (x.astype(self.dtype) - _IMAGENET_MEAN.astype(self.dtype)) \
+                * jnp.asarray(1.0 / _IMAGENET_STD, self.dtype)
+        else:
+            x = (x - _IMAGENET_MEAN) / _IMAGENET_STD
         outs = SwinTransformer(
             embed_dim=96, depths=(2, 2, 6, 2), num_heads=(3, 6, 12, 24),
             drop_path_rate=self.drop_path_rate, dtype=self.dtype,

@@ -63,9 +63,14 @@ class Backbone(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = 2.0 * (x / 255.0) - 1.0
+        # bf16 path: normalize in bf16 — the [H, W, 3] image lane-pads
+        # 3 -> 128 (42x HBM bloat), so the f32 normalize + separate cast
+        # cost two full-res passes (profiled r4); f32 path unchanged
         if self.dtype is not None:
-            x = x.astype(self.dtype)
+            x = x.astype(self.dtype) * jnp.asarray(2.0 / 255.0, self.dtype) \
+                - jnp.asarray(1.0, self.dtype)
+        else:
+            x = 2.0 * (x / 255.0) - 1.0
         x = Conv(64, (7, 7), strides=2, padding=3, use_bias=False,
                  dtype=self.dtype, name="conv1")(x)
         x = jax.nn.relu(_in(x, self.dtype))

@@ -215,6 +215,10 @@ class WindowAttention(nn.Module):
                 rolled = jnp.roll(rolled, -s_, axis=2)
                 qkv = jnp.where(shift > 0, rolled, qkv)
             else:
+                # (r4 probe: a lax.cond skipping the roll for shift=0
+                # layers measured NEUTRAL-to-worse — the conditional breaks
+                # fusion and forces operand materialization; the traced
+                # roll fuses.  Reverted, see git history.)
                 qkv = jnp.roll(qkv, (-shift, -shift), axis=(1, 2))
 
         # window partition: [B*nW, h, T, 3hd] with token order (hs, ws, n)

@@ -59,7 +59,13 @@ def phase(f):
 
 
 def spread_matrix(M, P, D):
-    """[(m,p), (m',d)] -> 1 if m == m' (P-reduction + head->channel spread)."""
+    """[(m,p), (m',d)] -> 1 if m == m' (P-reduction + head->channel spread).
+
+    (r4 probe: block-diagonal-batching 4 tap columns into one
+    [R, 4*MP] @ [4*MP, 4*MD] dot — K 32 -> 128 — measured SLOWER,
+    4.1 vs 3.8 ms/level: the kernel is VMEM-traffic bound, not MXU-pass
+    bound, and the wider weight concat + output slices cost more than the
+    saved passes.  Reverted; see git history.)"""
     sel = np.zeros((M * P, M * D), np.float32)
     for m in range(M):
         sel[m * P:(m + 1) * P, m * D:(m + 1) * D] = 1.0
@@ -92,8 +98,11 @@ def _msda_tap_kernel(dx_ref, dy_ref, aw_ref, v_hbm, sel_ref, out_ref,
     vtile_ref: VMEM scratch [TQ//f + 2r + 1, CW, MD] — the (row, col)
        window this tile's taps reach, staged once
     slab_ref: VMEM scratch [TQ, CW, MD] f32 — the current tap row's
-       query-res slab (dynamic column slices must come from a ref:
-       Mosaic has no dynamic_slice on values)
+       query-res slab (dynamic column slices must come from a ref: Mosaic
+       has no dynamic_slice on values; r4 probes: a bf16 slab or a direct
+       double-dynamic vtile slice both fail Mosaic's sublane-alignment
+       prover — f32's 8-sublane tiling is the only layout whose unaligned
+       tap-column slices compile here).
     """
     R = TQ * TW
     taps = 2 * r + 1
@@ -116,7 +125,10 @@ def _msda_tap_kernel(dx_ref, dy_ref, aw_ref, v_hbm, sel_ref, out_ref,
         hy = jnp.maximum(0.0, 1.0 - jnp.abs(dy - (ty - r).astype(jnp.float32)))
         awy = aw * hy
         # vtile rows [ty, ty + n_rows) hold base(u)+1 for u in [0, TQ);
-        # f-repeat them and phase-slice to align with query rows
+        # f-repeat them and phase-slice to align with query rows.  (r4
+        # probe: staging in bf16 fails Mosaic's dynamic-sublane-slice
+        # alignment prover — bf16 refs need 16-aligned column starts and
+        # the tap offsets sp + tx*f are not; f32 slabs slice fine.)
         slab = vtile_ref[pl.ds(ty, n_rows)].astype(jnp.float32)
         if f > 1:
             slab = jnp.broadcast_to(slab[:, None], (n_rows, f, CW, MD))
@@ -238,7 +250,7 @@ def _msda_taps_core(value_map, dx, dy, aw, sel, *, num_heads, radius,
             pl.BlockSpec((1, TQ, TW, MP), lambda i, j: (0, i, j, 0)),
             pl.BlockSpec((1, TQ, TW, MP), lambda i, j: (0, i, j, 0)),
             pl.BlockSpec((1, vrows, W2f, MD), lambda i, j: (0, 0, 0, 0)),
-            pl.BlockSpec((MP, MD), lambda i, j: (0, 0)),
+            pl.BlockSpec(tuple(sel.shape), lambda i, j: (0, 0)),
         ],
         out_specs=pl.BlockSpec((1, TQ, TW, MD), lambda i, j: (0, i, j, 0)),
         out_shape=jax.ShapeDtypeStruct((1, HG, Wq, MD), value_map.dtype),
