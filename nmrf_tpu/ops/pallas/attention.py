@@ -917,21 +917,18 @@ def window_attention_native_reference(qkv, ke_flat, qe_flat, ve_flat, shift,
 # backward paid the DENSE forward twice (linearize + VJP) including the
 # [B*G0, R, R] f32 mask/attention tensors in HBM that the forward kernel
 # specifically eliminated (the dense formulation measured ~18% slower
-# full-model; the train step runs it 2x per layer).  These kernels give the
-# backward the same treatment as the forward:
-#
-#   * ``_wan_bwd_dx_kernel``  — grid (B, nwh, nwwB), heads unrolled
-#     in-kernel, direct image-layout blocks: recomputes the attention
-#     probabilities with ``_head_probs`` (identical math = bit-consistent
-#     remat) and emits d(qkv) in image layout.
-#   * ``_wan_bwd_tbl_kernel`` — per-head grid, f32 accumulation of the
-#     positional-table cotangents d(ke)/d(qe)/d(ve) across sequential grid
-#     revisits (one [3, h, R, PH] output, constant index map over the
-#     trailing grid dims).  Under batch partitioning the accumulator gains
-#     a leading batch dim instead and the cross-shard reduction happens in
-#     the (sharded) ``sum`` outside — the same gradient volume the dense
-#     backward's expanded-table cotangents already cost (bench_scaling's
-#     [1x, 1.75x] all-reduce contract).
+# full-model; the train step runs it 2x per layer).
+# ``_wan_bwd_fused_kernel`` gives the backward the same treatment: per
+# (head, grid-cell) it recomputes the attention probabilities ONCE with
+# ``_head_probs`` (identical math = bit-consistent remat) and emits both
+# the d(q,k,v) blocks (head-major; one fused transpose reassembles image
+# layout) and the f32-accumulated positional-table cotangents
+# d(ke)/d(qe)/d(ve) (constant index map over the trailing grid dims —
+# sequential revisit accumulation).  Under batch partitioning the table
+# accumulator gains a leading batch dim and the cross-shard reduction
+# happens in the (sharded) ``sum`` outside — the same gradient volume the
+# dense backward's expanded-table cotangents already cost (bench_scaling's
+# [1x, 1.75x] all-reduce contract).
 #
 # All contractions are 2-D dots mirroring the forward's selector algebra;
 # the backward needs four more constant 0/1 selectors (``_bwd_selectors``):
@@ -958,12 +955,16 @@ def _bwd_selectors(P, hd):
 
 def _bwd_head_core(q_s, k, v, ke, qe, ve_c, g, selq, selst, sred, sredT,
                    c_red, sch_cT, p_red, cellmask, scale, _P, cd, P, hd,
-                   want_dx, want_tbl):
+                   want_dx, want_tbl, emit_tbl=None):
     """One head's backward on [R, hd] tokens (q_s PRE-scaled, like fwd).
 
     Returns (dq, dk, dv, dke, dqe, dve_c) with the dx/table halves gated by
-    ``want_dx``/``want_tbl`` (None where skipped).  d(q) is the cotangent
-    of the UNSCALED q; d(qe) of the scale-folded table exactly as passed.
+    ``want_dx``/``want_tbl``; with ``emit_tbl(c, val)`` each [R, PH] table
+    cotangent (c: 0=ke, 1=qe, 2=ve) is handed off AS SOON as computed and
+    None returned in its slot — keeping at most one alive (three co-live
+    [R, PH] f32 temporaries pushed the fused kernel past the 16 MB scoped
+    VMEM at training shapes).  d(q) is the cotangent of the UNSCALED q;
+    d(qe) of the scale-folded table exactly as passed.
     """
     attn = _head_probs(q_s, k, ke, qe, selq, selst, sred, cellmask,
                        _P, cd, P)
@@ -974,6 +975,14 @@ def _bwd_head_core(q_s, k, v, ke, qe, ve_c, g, selq, selst, sred, sredT,
                            (((1,), (0,)), ((), ())), **_P)     # [R, hd*P]
     datt_s = lax.dot_general((gexp * ve_c.astype(cd)), p_red.astype(cd),
                              (((1,), (0,)), ((), ())), **_P)   # [R, P]
+    dke = dqe = dve_c = None
+    if want_tbl:
+        attn_sT = lax.dot_general(attn_c, selq,
+                                  (((1,), (0,)), ((), ())), **_P)  # [R, P]
+        dve_c = gexp * pltpu.repeat(attn_sT, hd, 1)
+        if emit_tbl is not None:
+            emit_tbl(2, dve_c)
+            dve_c = None
     # d(attn) = g v^T + spread of the per-pixel value-table mass
     dattn = lax.dot_general(g, v.astype(cd),
                             (((1,), (1,)), ((), ())), **_P)
@@ -985,78 +994,50 @@ def _bwd_head_core(q_s, k, v, ke, qe, ve_c, g, selq, selst, sred, sredT,
     dqr = lax.dot_general(dlog, selq, (((1,), (0,)), ((), ())), **_P)
     dprod_q = lax.dot_general(dqr, sredT.astype(cd),
                               (((1,), (0,)), ((), ())), **_P)  # [R, PH]
-    dkr = lax.dot_general(dlog, selq, (((0,), (0,)), ((), ())), **_P)
-    dprod_k = lax.dot_general(dkr, sredT.astype(cd),
-                              (((1,), (0,)), ((), ())), **_P)  # [R, PH]
-
-    dq = dk = dv = dke = dqe = dve_c = None
+    if want_tbl:
+        dke = dprod_q * pltpu.repeat(q_s, P, 1)
+        if emit_tbl is not None:
+            emit_tbl(0, dke)
+            dke = None
+    dq = dk = dv = None
     if want_dx:
         dq_s = lax.dot_general(dlog, k, (((1,), (0,)), ((), ())), **_P)
         dq_s = dq_s + lax.dot_general(dprod_q * ke.astype(cd),
                                       c_red.astype(cd),
                                       (((1,), (0,)), ((), ())), **_P)
         dq = dq_s * scale
+    dkr = lax.dot_general(dlog, selq, (((0,), (0,)), ((), ())), **_P)
+    dprod_k = lax.dot_general(dkr, sredT.astype(cd),
+                              (((1,), (0,)), ((), ())), **_P)  # [R, PH]
+    if want_tbl:
+        dqe = dprod_k * pltpu.repeat(k, P, 1)
+        if emit_tbl is not None:
+            emit_tbl(1, dqe)
+            dqe = None
+    if want_dx:
         dk = lax.dot_general(dlog, q_s, (((0,), (0,)), ((), ())), **_P)
         dk = dk + lax.dot_general(dprod_k * qe.astype(cd),
                                   c_red.astype(cd),
                                   (((1,), (0,)), ((), ())), **_P)
         dv = lax.dot_general(attn_c, g, (((0,), (0,)), ((), ())), **_P)
-    if want_tbl:
-        attn_sT = lax.dot_general(attn_c, selq,
-                                  (((1,), (0,)), ((), ())), **_P)  # [R, P]
-        dke = dprod_q * pltpu.repeat(q_s, P, 1)
-        dqe = dprod_k * pltpu.repeat(k, P, 1)
-        dve_c = gexp * pltpu.repeat(attn_sT, hd, 1)
     return dq, dk, dv, dke, dqe, dve_c
 
 
-def _wan_bwd_dx_kernel(shift_ref, x_ref, g_ref, ke_ref, qe_ref, ve_ref,
-                       selq_ref, selst_ref, sred_ref, sredT_ref, cred_ref,
-                       schT_ref, pred_ref, mask_ref, dx_ref, *, scale, wh,
-                       ww, WB, N, Hp, Wp, neg, exact, num_heads, hd):
-    """d(qkv) of one grid cell, direct image layout (mirror of the forward
-    ``_window_native_kernel_direct``)."""
-    _P = dict(_F32, precision=lax.Precision.HIGHEST) if exact else _F32
-    cd = jnp.float32 if exact else x_ref.dtype
-    h = num_heads
-    x = x_ref[0, 0, :, 0]                             # [wh, T, 3C]
-    T = x.shape[1]
-    R = wh * T
-    x2 = x.reshape(R, 3 * h * hd)
-    g2 = g_ref[0, 0, :, 0].reshape(R, h * hd)
-    cellmask = mask_ref[:] + _shifted_region_mask(
-        shift_ref[0], shift_ref[1], pl.program_id(1), pl.program_id(2),
-        R, wh, ww, WB, N, Hp, Wp, neg)
-    sred = sred_ref[:].astype(cd)
-    P = wh * ww
-    parts = []
-    for i in range(h):                  # channel order (component, head, hd)
-        q_s = x2[:, i * hd:(i + 1) * hd].astype(cd) * scale
-        k = x2[:, (h + i) * hd:(h + i + 1) * hd].astype(cd)
-        v = x2[:, (2 * h + i) * hd:(2 * h + i + 1) * hd]
-        dq, dk, dv, _, _, _ = _bwd_head_core(
-            q_s, k, v, ke_ref[i], qe_ref[i], ve_ref[i],
-            g2[:, i * hd:(i + 1) * hd], selq_ref[:], selst_ref[:], sred,
-            sredT_ref[:], cred_ref[:], schT_ref[:], pred_ref[:], cellmask,
-            scale, _P, cd, P, hd, True, False)
-        parts.append((dq, dk, dv))
-    dx = jnp.concatenate([p[0] for p in parts] + [p[1] for p in parts]
-                         + [p[2] for p in parts], axis=-1)   # [R, 3C]
-    dx_ref[0, 0, :, 0] = dx.reshape(wh, T, 3 * h * hd).astype(dx_ref.dtype)
+def _wan_bwd_fused_kernel(shift_ref, q_ref, k_ref, v_ref, g_ref, ke_ref,
+                          qe_ref, ve_ref, selq_ref, selst_ref, sred_ref,
+                          sredT_ref, cred_ref, schT_ref, pred_ref, mask_ref,
+                          dq_ref, dk_ref, dv_ref, dtbl_ref, *, scale, wh,
+                          ww, WB, N, Hp, Wp, neg, exact, hd, batch_out):
+    """One (head, grid-cell) backward: d(q,k,v) blocks (head-major) PLUS
+    the positional-table cotangents, off a SINGLE probability recompute.
 
-
-def _wan_bwd_tbl_kernel(shift_ref, q_ref, k_ref, v_ref, g_ref, ke_ref,
-                        qe_ref, ve_ref, selq_ref, selst_ref, sred_ref,
-                        sredT_ref, cred_ref, schT_ref, pred_ref, mask_ref,
-                        dtbl_ref, *, scale, wh, ww, WB, N, Hp, Wp, neg,
-                        exact, hd, batch_out):
-    """Positional-table cotangents, accumulated in f32 across grid revisits.
-
-    Output block [3, R, PH] (stacked dke/dqe/dve) indexed by head only
-    (``batch_out=False``: accumulate over B and the window grid) or by
-    (batch, head) (``batch_out=True``: per-batch-element partials for the
-    SPMD-partitioned path; the sharded sum outside carries the cross-shard
-    reduction).
+    An earlier two-kernel split (dx with heads unrolled + a separate
+    table-grad kernel) recomputed the attention probabilities twice per
+    (head, cell); merging them was worth ~9% of the whole train step
+    (r4 trace: the two bwd pallas regions carried 203 of 888 ms).
+    dtbl accumulates f32 across sequential grid revisits — per head
+    (``batch_out=False``) or per (batch, head) partials whose sharded sum
+    outside carries the cross-shard reduction (``batch_out=True``).
     """
     _P = dict(_F32, precision=lax.Precision.HIGHEST) if exact else _F32
     cd = jnp.float32 if exact else q_ref.dtype
@@ -1071,37 +1052,51 @@ def _wan_bwd_tbl_kernel(shift_ref, q_ref, k_ref, v_ref, g_ref, ke_ref,
         shift_ref[0], shift_ref[1], pl.program_id(2), pl.program_id(3),
         R, wh, ww, WB, N, Hp, Wp, neg)
     P = wh * ww
-    _, _, _, dke, dqe, dve_c = _bwd_head_core(
-        q_s, k, v, ke_ref[0], qe_ref[0], ve_ref[0], g, selq_ref[:],
-        selst_ref[:], sred_ref[:].astype(cd), sredT_ref[:], cred_ref[:],
-        schT_ref[:], pred_ref[:], cellmask, scale, _P, cd, P, hd,
-        False, True)
-    upd = jnp.stack([dke.astype(jnp.float32), dqe.astype(jnp.float32),
-                     dve_c.astype(jnp.float32)])      # [3, R, PH]
     if batch_out:
         first = (pl.program_id(2) == 0) & (pl.program_id(3) == 0)
     else:
         first = ((pl.program_id(1) == 0) & (pl.program_id(2) == 0)
                  & (pl.program_id(3) == 0))
 
-    @pl.when(first)
-    def _():
-        dtbl_ref[...] = jnp.zeros(dtbl_ref.shape, dtbl_ref.dtype)
+    def emit_tbl(c, val):
+        # immediate predicated write/accumulate: keeps at most one [R, PH]
+        # f32 table cotangent alive in the kernel (scoped-VMEM budget)
+        val = val.astype(jnp.float32)
 
-    if batch_out:
-        dtbl_ref[0, :, 0] += upd
-    else:
-        dtbl_ref[:, 0] += upd
+        @pl.when(first)
+        def _():
+            if batch_out:
+                dtbl_ref[0, c, 0] = val
+            else:
+                dtbl_ref[c, 0] = val
+
+        @pl.when(jnp.logical_not(first))
+        def _():
+            if batch_out:
+                dtbl_ref[0, c, 0] += val
+            else:
+                dtbl_ref[c, 0] += val
+
+    dq, dk, dv, _, _, _ = _bwd_head_core(
+        q_s, k, v, ke_ref[0], qe_ref[0], ve_ref[0], g, selq_ref[:],
+        selst_ref[:], sred_ref[:].astype(cd), sredT_ref[:], cred_ref[:],
+        schT_ref[:], pred_ref[:], cellmask, scale, _P, cd, P, hd,
+        True, True, emit_tbl=emit_tbl)
+    sh = (wh, T, hd)
+    dq_ref[0, 0, 0, :, 0] = dq.reshape(sh).astype(dq_ref.dtype)
+    dk_ref[0, 0, 0, :, 0] = dk.reshape(sh).astype(dk_ref.dtype)
+    dv_ref[0, 0, 0, :, 0] = dv.reshape(sh).astype(dv_ref.dtype)
 
 
 def _wan_bwd_core(g, qkv, ke_flat, qe_flat, ve_flat, shift, row0,
                   sel, selT, s_red, s_ch_c, basemask, sredT, c_red, sch_cT,
                   p_red, *, scale, wh, ww, WB, num_heads, candidate_mask,
                   neg, interpret, hp_total, batch_out):
-    """Both backward pallas_calls; returns (dqkv, dke, dqe, dve).
+    """The fused backward pallas_call; returns (dqkv, dtbl).
 
-    With ``batch_out`` the table grads keep a leading batch dim (summed by
-    the caller) so the op stays batch-partitionable end to end.
+    dtbl: [3, h, R, PH] fully accumulated (batch_out=False) or
+    [B, 3, h, R, PH] per-sample partials (batch_out=True — the caller's
+    sharded sum carries the cross-shard reduction under SPMD).
     """
     B, Hp, Wp, N, C3 = qkv.shape
     if hp_total is None:
@@ -1119,46 +1114,9 @@ def _wan_bwd_core(g, qkv, ke_flat, qe_flat, ve_flat, shift, row0,
 
     shift_arr = jnp.stack([jnp.asarray(shift, jnp.int32).reshape(()),
                            jnp.asarray(row0, jnp.int32).reshape(())])
-    x = qkv.reshape(B, nwh, wh, nwwB, T, C3)
-    g6 = g.reshape(B, nwh, wh, nwwB, T, h * hd)
-    tbl = pl.BlockSpec((h, R, PH), lambda b, gh, gw: (0, 0, 0),
-                       memory_space=pltpu.VMEM)
-    cst3 = lambda shape: pl.BlockSpec(  # noqa: E731
-        shape, lambda b, gh, gw: tuple(0 for _ in shape),
-        memory_space=pltpu.VMEM)
-    dx_kernel = functools.partial(
-        _wan_bwd_dx_kernel, scale=scale, wh=wh, ww=ww, WB=WB, N=N,
-        Hp=hp_total, Wp=Wp, neg=neg, exact=exact, num_heads=h, hd=hd)
-    dx = pl.pallas_call(
-        dx_kernel,
-        grid=(B, nwh, nwwB),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, wh, 1, T, C3),
-                         lambda b, gh, gw: (b, gh, 0, gw, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, wh, 1, T, h * hd),
-                         lambda b, gh, gw: (b, gh, 0, gw, 0, 0),
-                         memory_space=pltpu.VMEM),
-            tbl, tbl, tbl,
-            cst3((R, P)), cst3((P, R)), cst3((PH, P)), cst3((P, PH)),
-            cst3((PH, hd)), cst3((hd, PH)), cst3((PH, P)), cst3((R, R)),
-        ],
-        out_specs=pl.BlockSpec((1, 1, wh, 1, T, C3),
-                               lambda b, gh, gw: (b, gh, 0, gw, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, nwh, wh, nwwB, T, C3),
-                                       qkv.dtype),
-        interpret=interpret,
-    )(shift_arr, x, g6, ke_flat, qe_flat, ve_flat, sel, selT, s_red, sredT,
-      c_red, sch_cT, p_red, basemask)
-    dqkv = dx.reshape(B, Hp, Wp, N, C3)
-
-    # ---- table grads: per-head grid, f32 revisit accumulation ---- #
-    # head-major copies: Mosaic requires the last two block dims full (or
+    # head-major feeds: Mosaic requires the last two block dims full (or
     # (8, 128)-aligned), so the per-head channel selection must be a
     # LEADING blocked axis — two qkv-sized transposes per backward call
-    # (~0.1 ms at production shapes, amortized across the whole stack)
     x8 = qkv.reshape(B, nwh, wh, nwwB, T, 3 * h, hd).transpose(
         5, 0, 1, 2, 3, 4, 6)                    # [3h, B, nwh, wh, nwwB, T, hd]
     g8 = g.reshape(B, nwh, wh, nwwB, T, h, hd).transpose(
@@ -1172,15 +1130,18 @@ def _wan_bwd_core(g, qkv, ke_flat, qe_flat, ve_flat, shift, row0,
         gsp = pl.BlockSpec(blk7,
                            lambda b, i, gh, gw: (i, b, gh, 0, gw, 0, 0),
                            memory_space=pltpu.VMEM)
+        dxsp = pl.BlockSpec(blk7,
+                            lambda b, i, gh, gw: (i, b, gh, 0, gw, 0, 0),
+                            memory_space=pltpu.VMEM)
         tb1 = pl.BlockSpec((1, R, PH), lambda b, i, gh, gw: (i, 0, 0),
                            memory_space=pltpu.VMEM)
         cst = lambda shape: pl.BlockSpec(  # noqa: E731
             shape, lambda b, i, gh, gw: tuple(0 for _ in shape),
             memory_space=pltpu.VMEM)
-        out_spec = pl.BlockSpec((1, 3, 1, R, PH),
+        tbl_spec = pl.BlockSpec((1, 3, 1, R, PH),
                                 lambda b, i, gh, gw: (b, 0, i, 0, 0),
                                 memory_space=pltpu.VMEM)
-        out_shape = jax.ShapeDtypeStruct((B, 3, h, R, PH), jnp.float32)
+        tbl_shape = jax.ShapeDtypeStruct((B, 3, h, R, PH), jnp.float32)
     else:
         grid = (h, B, nwh, nwwB)
         comp = lambda c: pl.BlockSpec(  # noqa: E731
@@ -1189,22 +1150,26 @@ def _wan_bwd_core(g, qkv, ke_flat, qe_flat, ve_flat, shift, row0,
         gsp = pl.BlockSpec(blk7,
                            lambda i, b, gh, gw: (i, b, gh, 0, gw, 0, 0),
                            memory_space=pltpu.VMEM)
+        dxsp = pl.BlockSpec(blk7,
+                            lambda i, b, gh, gw: (i, b, gh, 0, gw, 0, 0),
+                            memory_space=pltpu.VMEM)
         tb1 = pl.BlockSpec((1, R, PH), lambda i, b, gh, gw: (i, 0, 0),
                            memory_space=pltpu.VMEM)
         cst = lambda shape: pl.BlockSpec(  # noqa: E731
             shape, lambda i, b, gh, gw: tuple(0 for _ in shape),
             memory_space=pltpu.VMEM)
-        out_spec = pl.BlockSpec((3, 1, R, PH),
+        tbl_spec = pl.BlockSpec((3, 1, R, PH),
                                 lambda i, b, gh, gw: (0, i, 0, 0),
                                 memory_space=pltpu.VMEM)
-        out_shape = jax.ShapeDtypeStruct((3, h, R, PH), jnp.float32)
+        tbl_shape = jax.ShapeDtypeStruct((3, h, R, PH), jnp.float32)
 
-    tbl_kernel = functools.partial(
-        _wan_bwd_tbl_kernel, scale=scale, wh=wh, ww=ww, WB=WB, N=N,
+    kernel = functools.partial(
+        _wan_bwd_fused_kernel, scale=scale, wh=wh, ww=ww, WB=WB, N=N,
         Hp=hp_total, Wp=Wp, neg=neg, exact=exact, hd=hd,
         batch_out=batch_out)
-    dtbl = pl.pallas_call(
-        tbl_kernel,
+    d8 = jax.ShapeDtypeStruct((h, B, nwh, wh, nwwB, T, hd), qkv.dtype)
+    dq8, dk8, dv8, dtbl = pl.pallas_call(
+        kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -1213,32 +1178,24 @@ def _wan_bwd_core(g, qkv, ke_flat, qe_flat, ve_flat, shift, row0,
             cst((R, P)), cst((P, R)), cst((PH, P)), cst((P, PH)),
             cst((PH, hd)), cst((hd, PH)), cst((PH, P)), cst((R, R)),
         ],
-        out_specs=out_spec,
-        out_shape=out_shape,
+        out_specs=(dxsp, dxsp, dxsp, tbl_spec),
+        out_shape=(d8, d8, d8, tbl_shape),
         interpret=interpret,
     )(shift_arr, x8, x8, x8, g8, ke_flat, qe_flat, ve_flat, sel, selT,
       s_red, sredT, c_red, sch_cT, p_red, basemask)
-    # batch_out: [B, 3, h, R, PH] per-sample partials (caller sums — under
-    # SPMD the sharded-dim sum IS the cross-shard reduction);
-    # else: [3, h, R, PH] fully accumulated in-kernel
+    # assemble d(qkv) back to image layout (one fused transpose)
+    cat = jnp.concatenate([dq8, dk8, dv8], axis=0)    # [3h, B, ...]
+    dqkv = cat.transpose(1, 2, 3, 4, 5, 0, 6).reshape(
+        B, nwh, wh, nwwB, T, C3).reshape(B, Hp, Wp, N, C3)
     return dqkv, dtbl
 
 
-def _wan_bwd_dx_part(g, qkv, ke_flat, qe_flat, ve_flat, shift, row0,
-                     sel, selT, s_red, s_ch_c, basemask, sredT, c_red,
-                     sch_cT, p_red, **kw):
+def _wan_bwd_part(g, qkv, ke_flat, qe_flat, ve_flat, shift, row0,
+                  sel, selT, s_red, s_ch_c, basemask, sredT, c_red,
+                  sch_cT, p_red, **kw):
     return _wan_bwd_core(g, qkv, ke_flat, qe_flat, ve_flat, shift, row0,
                          sel, selT, s_red, s_ch_c, basemask, sredT, c_red,
-                         sch_cT, p_red, batch_out=True, **kw)[0]
-
-
-def _wan_bwd_tbl_part(g, qkv, ke_flat, qe_flat, ve_flat, shift, row0,
-                      sel, selT, s_red, s_ch_c, basemask, sredT, c_red,
-                      sch_cT, p_red, **kw):
-    return _wan_bwd_core(
-        g, qkv, ke_flat, qe_flat, ve_flat, shift, row0, sel, selT, s_red,
-        s_ch_c, basemask, sredT, c_red, sch_cT, p_red, batch_out=True,
-        **kw)[1]
+                         sch_cT, p_red, batch_out=True, **kw)
 
 
 def window_attention_native_bwd(g, qkv, ke_flat, qe_flat, ve_flat, shift,
@@ -1260,10 +1217,10 @@ def window_attention_native_bwd(g, qkv, ke_flat, qe_flat, ve_flat, shift,
                                    shift, row0, *consts, *bsel,
                                    batch_out=False, **kw)
     else:
-        # batch-partitioned path: dqkv is embarrassingly batch-parallel;
-        # the per-sample table partials carry a leading batch dim whose
-        # sharded sum below inserts the cross-shard reduction (same
-        # gradient volume the dense backward already cost)
+        # batch-partitioned path: one multi-output op — dqkv stays
+        # sharded; the per-sample table partials' sharded sum below
+        # inserts the cross-shard reduction (same gradient volume the
+        # dense backward already cost)
         from .partitioning import shard_over_batch
 
         args = (g, qkv, ke_flat, qe_flat, ve_flat,
@@ -1271,9 +1228,9 @@ def window_attention_native_bwd(g, qkv, ke_flat, qe_flat, ve_flat, shift,
                 jnp.asarray(row0, jnp.int32)) + consts + bsel
         bdims = (0, 0) + (None,) * (len(args) - 2)
         statics = tuple(sorted(kw.items()))
-        dqkv = shard_over_batch(_wan_bwd_dx_part, bdims, 5, args, statics)
-        dtbl = shard_over_batch(_wan_bwd_tbl_part, bdims, 5, args,
-                                statics).sum(axis=0)
+        dqkv, dtbl = shard_over_batch(_wan_bwd_part, bdims, (5, 5), args,
+                                      statics)
+        dtbl = dtbl.sum(axis=0)
     return (dqkv, dtbl[0].astype(ke_flat.dtype),
             dtbl[1].astype(qe_flat.dtype), dtbl[2].astype(ve_flat.dtype))
 

@@ -48,14 +48,16 @@ def _batch_axis(batch_dims, arg_infos):
 
 
 @functools.lru_cache(maxsize=None)
-def _build_op(fn, statics, batch_dims, ranks, res_rank):
+def _build_op(fn, statics, batch_dims, ranks, res_ranks):
     """Cached custom_partitioning op for one (kernel, static-config) pair.
 
     fn: module-level callable taking the traced operands positionally and
     the statics as keyword args.  batch_dims: per-operand batch-dim index
-    or None (replicated operand).  The result's batch dim is 0.
+    or None (replicated operand).  res_ranks: an int (single result) or a
+    tuple of ints (tuple result) — every result's batch dim is 0.
     """
     kwargs = dict(statics)
+    multi = isinstance(res_ranks, tuple)
 
     def call(*args):
         return fn(*args, **kwargs)
@@ -63,7 +65,8 @@ def _build_op(fn, statics, batch_dims, ranks, res_rank):
     op = custom_partitioning(call)
 
     def infer(mesh, arg_infos, result_infos):
-        return NamedSharding(mesh, P(_batch_axis(batch_dims, arg_infos)))
+        sh = NamedSharding(mesh, P(_batch_axis(batch_dims, arg_infos)))
+        return tuple(sh for _ in res_ranks) if multi else sh
 
     def partition(mesh, arg_infos, result_infos):
         b = _batch_axis(batch_dims, arg_infos)
@@ -73,7 +76,10 @@ def _build_op(fn, statics, batch_dims, ranks, res_rank):
             if bd is not None and rank:
                 spec[bd] = b
             arg_sh.append(NamedSharding(mesh, P(*spec)))
-        return mesh, call, NamedSharding(mesh, P(b)), tuple(arg_sh)
+        out_sh = NamedSharding(mesh, P(b))
+        if multi:
+            out_sh = tuple(out_sh for _ in res_ranks)
+        return mesh, call, out_sh, tuple(arg_sh)
 
     # propagation rule (shardy): one shared batch factor; every other dim
     # is a unique factor so nothing else propagates through the op
@@ -81,8 +87,9 @@ def _build_op(fn, statics, batch_dims, ranks, res_rank):
     for i, (bd, rank) in enumerate(zip(batch_dims, ranks)):
         operand_mappings.append(tuple(
             "b" if d == bd else f"a{i}_{d}" for d in range(rank)))
-    result_mappings = (tuple("b" if d == 0 else f"r{d}"
-                             for d in range(res_rank)),)
+    result_mappings = tuple(
+        tuple("b" if d == 0 else f"r{j}_{d}" for d in range(rr))
+        for j, rr in enumerate(res_ranks if multi else (res_ranks,)))
     op.def_partition(
         infer_sharding_from_operands=infer,
         partition=partition,
@@ -104,5 +111,6 @@ def shard_over_batch(fn, batch_dims, res_rank, args, statics=()):
         return fn(*args, **dict(statics))
     ranks = tuple(getattr(a, "ndim", 0) for a in args)
     op = _build_op(fn, tuple(statics), tuple(batch_dims), ranks,
-                   int(res_rank))
+                   tuple(res_rank) if isinstance(res_rank, (tuple, list))
+                   else int(res_rank))
     return op(*args)
