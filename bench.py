@@ -67,6 +67,11 @@ def main():
     # disparity arithmetic stay f32; parity deltas validated in tests);
     # override with `TPU.COMPUTE_DTYPE float32` for the f32 number.
     cfg.TPU.COMPUTE_DTYPE = "bfloat16"
+    # tanh-GELU inside bf16 compute only: <~1e-3 relative vs erf — far
+    # inside bf16 rounding — and worth ~5 ms/frame on swin (the erf
+    # lowering is transcendental-heavy on the VPU; measured 65.8 -> 60.5,
+    # 2026-08-20).  `TPU.GELU_APPROX False` restores exact erf.
+    cfg.TPU.GELU_APPROX = True
     cfg.merge_from_list(argv)
     cfg.freeze()
 

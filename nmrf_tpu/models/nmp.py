@@ -253,20 +253,23 @@ class WindowAttention(nn.Module):
             # feed the MXU >=128-row tiles.
             from ..ops.pallas.attention import (
                 choose_column_block, window_attention_native,
-                window_attention_native_op, window_meta)
+                window_attention_native_op, window_meta,
+                window_positional_terms)
 
             T = P * N
             WB = choose_column_block(nww, T)
             meta, sel = window_meta(wh, ww, WB, N)
             pixs = meta[:, 0]
             R = len(pixs)
-            # flattened token-expanded positional tables: ke/qe (s, c)
-            # lane order [h, R, P*hd]; ve CHANNEL-major (c, s) [h, R, hd*P]
-            # (matches the kernel's pltpu.repeat lane expansions)
-            ke_flat = k_embed.transpose(2, 0, 1, 3)[:, pixs].reshape(
-                h, R, P * hd)
-            qe_flat = (q_embed * scale).transpose(2, 1, 0, 3)[:, pixs].reshape(
-                h, R, P * hd)
+            # pixel-granular positional logits, computed HERE with tiny
+            # batched einsums (K = hd) — the kernel DMAs the compact
+            # [R, P] per-cell blocks and only spreads them over token
+            # pairs (the in-kernel selector algebra they replace was ~8x
+            # the FLOPs of the attention itself; ops/pallas/attention.py)
+            qr_blk, kr_blk = window_positional_terms(
+                qkv, k_embed, q_embed, scale, wh, ww, WB, h)
+            # value table stays in-kernel (it contracts the attention
+            # probabilities): CHANNEL-major (c, s) [h, R, hd*P]
             ve_flat = v_embed.transpose(2, 0, 3, 1)[:, pixs].reshape(
                 h, R, hd * P)
             if self.spatial_axis is not None:
@@ -285,12 +288,12 @@ class WindowAttention(nn.Module):
             part = self.spatial_axis is None
             if self.pallas_interpret:
                 out = window_attention_native(
-                    qkv, ke_flat, qe_flat, ve_flat, shift, scale,
+                    qkv, qr_blk, kr_blk, ve_flat, shift, scale,
                     wh, ww, WB, h, self.candidate_mask, interpret=True,
                     row0=row0, hp_total=hp_total)
             else:
                 out = window_attention_native_op(
-                    qkv, ke_flat, qe_flat, ve_flat, shift, row0, scale,
+                    qkv, qr_blk, kr_blk, ve_flat, shift, row0, scale,
                     wh, ww, WB, h, self.candidate_mask, NEG_INF, hp_total,
                     part)
             if not static_zero:

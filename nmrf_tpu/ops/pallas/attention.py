@@ -436,21 +436,32 @@ stripe_attention_op.defvjp(_sa_fwd, _sa_bwd)
 # --------------------------------------------------------------------------- #
 #
 # An earlier "v2 rpe" kernel (git history: rpe_window_attention) paid per
-# grid cell for (a) [R, R] mask blocks streamed from HBM and (b) qr/kr/
-# ve_tok tensors materialized by the caller and re-fetched every step
-# (their index maps changed with the innermost grid dim).  This kernel
-# removes both — measured 61.1 vs 75.1 ms full-forward on v5e at KITTI
-# shapes: the candidate / cross-window /
-# shifted-region masks are computed in-kernel from trace-time coordinate
-# constants (plus one SMEM shift scalar), and the positional tables are
-# passed flattened as [h, R, P*hd] blocks whose index map depends only on
-# the head — Mosaic fetches them once per head and keeps them VMEM-resident
-# across all window groups.  The per-(R, P, hd) contractions are expressed
-# as lane tilings (``pltpu.repeat`` — pure VPU data movement) followed by
-# constant 0/1 reduction matmuls (2-D dots only — Mosaic-safe):
+# grid cell for (a) [R, R] mask blocks streamed from HBM and (b) TOKEN-
+# expanded [R, R]-sized qr/kr/ve tensors materialized by the caller and
+# re-fetched every step — measured 75.1 vs 61.1 ms full-forward.  The
+# r3 successor computed everything in-kernel: masks from trace-time
+# coordinate constants (plus one SMEM shift scalar), and the q·ke / k·qe
+# relative-position logits from VMEM-resident [h, R, P*hd] tables via
+# ``pltpu.repeat`` lane expansions + constant 0/1 selector matmuls.  Those
+# selector dots carried a P=49x K-blowup (K = P*hd where only hd lanes per
+# output are live): at production shapes they were ~8x the FLOPs of the
+# attention itself (r4 trace: the two window kernels = 10.6 of 65.8
+# ms/frame on swin).
 #
-#   qtile = repeat(q, P)          (s, c) lane expansion               [R, P*hd]
-#   qr    = (ke ⊙ qtile) @ S_red  S_red[s*hd+c, s']  = (s == s')      [R, P]
+# Current design (r4): the positional logits are PIXEL-granular —
+# qr[i, s] = q_i . k_embed[pixel(i), s] depends only on (token, key
+# PIXEL), an [R, P] block per (cell, head) — so the caller computes them
+# with tiny batched einsums on the MXU (``nmp.py
+# window_positional_terms``: batch dims (wh, ww, h), K = hd — the
+# irreducible R*P*hd contraction, ~30x fewer FLOPs than the in-kernel
+# selector algebra) and the kernel DMAs the compact [R, P] blocks
+# (~150 KB/cell) and only SPREADS them over token pairs with cheap K=P
+# selector dots.  Masks stay in-kernel (unlike v2).  The value-table term
+# needs the attention probabilities and stays in-kernel via the (c, s)
+# channel-major lane expansion:
+#
+#   logits += qr @ S_st            S_st[s, j] = (s == pixel(j))       [R, R]
+#   logits += S_q @ kr^T           S_q[i, p]  = (p == pixel(i))       [R, R]
 #   atile = repeat(attn_s, hd)    (c, s) lane expansion (ve c-major)  [R, hd*P]
 #   vterm = (ve_c ⊙ atile) @ S_ch_c  S_ch_c[c*P+s, c'] = (c == c')    [R, hd]
 
@@ -476,6 +487,47 @@ def window_meta(wh, ww, WB, N):
     return meta, sel
 
 
+def window_positional_terms(qkv, k_embed, q_embed, scale, wh, ww, WB,
+                            num_heads):
+    """Pixel-granular relative-position logits for the window kernels.
+
+    qr[b, gh, gw, h, i, s] = (q_i * scale) . k_embed[pixel(i), s];
+    kr[b, gh, gw, h, j, p] = k_j . (q_embed[p, pixel(j)] * scale)
+    (reference ``WindowAttention`` einsums, NMP.py:258-262 — computed at
+    pixel granularity, the candidate axis never enters the tables).
+
+    Batched einsums over (wh, ww, head) with K = hd — the irreducible
+    R*P*hd contraction, ~30x fewer FLOPs than the in-kernel selector
+    algebra they replace (see the section header below).  The window
+    split reshape is an adjacent-dim split (free); the kernel DMAs the
+    compact [R, P] blocks per cell.
+
+    qkv: [B, Hp, Wp, N, 3C] (already rolled), channel order (component,
+    head, hd); k_embed/q_embed: [P, P, h, hd].
+    Returns (qr, kr): [B, nwh, nwwB, h, R, P] in qkv.dtype.
+    """
+    B, Hp, Wp, N, C3 = qkv.shape
+    h = num_heads
+    hd = C3 // (3 * h)
+    P = wh * ww
+    WBww = WB * ww
+    nwh, nwwB = Hp // wh, Wp // WBww
+    R = wh * WBww * N
+    x9 = qkv.reshape(B, nwh, wh, nwwB, WB, ww, N, 3 * h, hd)
+    q9 = x9[..., :h, :]
+    k9 = x9[..., h:2 * h, :]
+    acc = dict(preferred_element_type=jnp.float32)
+    if qkv.dtype == jnp.float32:
+        acc["precision"] = lax.Precision.HIGHEST
+    keW = (k_embed * scale).reshape(wh, ww, P, h, hd)
+    qeW = (q_embed * scale).transpose(1, 0, 2, 3).reshape(wh, ww, P, h, hd)
+    qr = jnp.einsum("belfwxnhc,lxshc->befhlwxns", q9, keW, **acc)
+    kr = jnp.einsum("belfwxnhc,lxphc->befhlwxnp", k9, qeW, **acc)
+    qr = qr.reshape(B, nwh, nwwB, h, R, P).astype(qkv.dtype)
+    kr = kr.reshape(B, nwh, nwwB, h, R, P).astype(qkv.dtype)
+    return qr, kr
+
+
 def choose_column_block(nww, T, target=512):
     """Largest WB dividing nww with WB*T <= target (one grid cell spans WB
     adjacent windows along W so small windows still feed the MXU)."""
@@ -487,40 +539,33 @@ def choose_column_block(nww, T, target=512):
 
 
 def hd_group_selectors(P, hd):
-    """Constant 0/1 matrices for per-(pixel, channel) lane-group algebra.
+    """Constant 0/1 matrix for the value-table lane-group algebra.
 
-    s_red reduces an (s, c) lane-flattened [*, P*hd] product over c per
-    pixel group; s_ch_c reduces a CHANNEL-major (c, s) flattened [*, hd*P]
-    product over s per channel.  (The former qtile/ktile/atile tiling
-    selectors are gone — ``pltpu.repeat`` builds those lane expansions
-    directly, see ``_attend_head``.)"""
-    s_ids = np.repeat(np.arange(P), hd)          # [P*hd] pixel of each lane
+    s_ch_c reduces a CHANNEL-major (c, s) flattened [*, hd*P] product over
+    s per channel (``pltpu.repeat(attn_s, hd)`` is exactly the matching
+    (c, s) lane expansion, see ``_attend_head``)."""
     c_ids_c = np.repeat(np.arange(hd), P)        # [hd*P] channel, c-major
-    s_red = (s_ids[:, None] == np.arange(P)[None, :]).astype(np.float32)
     s_ch_c = (c_ids_c[:, None] == np.arange(hd)[None, :]).astype(np.float32)
-    return s_red, s_ch_c                         # [PH, P], [PH, hd]
+    return s_ch_c                                # [PH, hd]
 
 
-def _head_probs(q_s, k, ke, qe, selq, selst, sred, cellmask, _P, cd, P):
+def _head_probs(q_s, k, qr, kr, selq, selst, cellmask, _P, cd):
     """Masked window-attention probabilities of one head (q PRE-scaled).
+
+    qr/kr: [R, P] pixel-granular positional logits precomputed by the
+    caller's batched einsums (``nmp.py window_positional_terms``) —
+    qr[i, s] = (q_i * scale) . k_embed[pixel(i), s] and
+    kr[j, p] = k_j . (q_embed[p, pixel(j)] * scale); the kernel only
+    spreads them over token pairs with K=P selector dots.
 
     Shared by the forward kernels and the backward kernels' recompute —
     identical math keeps the rematerialized softmax bit-consistent with
     the forward."""
     logits = lax.dot_general(q_s, k, (((1,), (1,)), ((), ())), **_P)
-    # qr[i, s] = q_i . k_embed[pixel(i), s]; spread over key tokens j by
-    # pixel(j) with the constant selector matmul
-    qtile = pltpu.repeat(q_s, P, 1)                        # [R, P*hd]
-    qr = lax.dot_general(ke.astype(cd) * qtile, sred,
-                         (((1,), (0,)), ((), ())), **_P)   # [R, P]
     logits = logits + lax.dot_general(
-        qr, selst, (((1,), (0,)), ((), ())), **_P)
-    # kr[j, p] = k_j . (q_embed[p, pixel(j)] * scale)
-    ktile = pltpu.repeat(k, P, 1)
-    kr = lax.dot_general(qe.astype(cd) * ktile, sred,
-                         (((1,), (0,)), ((), ())), **_P)   # [R, P]
+        qr.astype(cd), selst, (((1,), (0,)), ((), ())), **_P)
     logits = logits + lax.dot_general(
-        selq, kr, (((1,), (1,)), ((), ())), **_P)
+        selq, kr.astype(cd), (((1,), (1,)), ((), ())), **_P)
 
     logits = logits + cellmask
     mx = jnp.max(logits, axis=-1, keepdims=True)
@@ -528,24 +573,18 @@ def _head_probs(q_s, k, ke, qe, selq, selst, sred, cellmask, _P, cd, P):
     return e / jnp.sum(e, axis=-1, keepdims=True)
 
 
-def _attend_head(q, k, v, ke, qe, ve_c, selq, selst, sred, sch_c,
+def _attend_head(q, k, v, qr, kr, ve_c, selq, selst, sch_c,
                  cellmask, scale, _P, cd, P, hd):
     """One head's windowed attention on [R, hd] tokens.
 
     cellmask: [R, R] f32 — candidate/cross-window base mask plus this grid
-    cell's shifted-region mask, already summed.  ke/qe are (s, c) lane-
-    flattened [R, P*hd]; ve_c is CHANNEL-major [R, hd*P].  Returns [R, hd].
-
-    The lane tilings that earlier used constant selector matmuls (qtile/
-    ktile/atile) are pure data movement — ``pltpu.repeat`` builds them
-    directly on the VPU: tile(q, P) is exactly the (s, c) lane expansion
-    and tile(attn_s, hd) exactly the (c, s) one, which is why the value
-    table is packed channel-major.  That removes the three worst dots of
-    the kernel (K = hd or K = P, 4x MXU pad at production shapes).
+    cell's shifted-region mask, already summed.  qr/kr: [R, P] positional
+    logit blocks (see ``_head_probs``); ve_c is the CHANNEL-major
+    [R, hd*P] value table.  Returns [R, hd].
     """
     q = q.astype(cd) * scale
     k = k.astype(cd)
-    attn = _head_probs(q, k, ke, qe, selq, selst, sred, cellmask, _P, cd, P)
+    attn = _head_probs(q, k, qr, kr, selq, selst, cellmask, _P, cd)
     out = lax.dot_general(attn.astype(v.dtype), v,
                           (((1,), (0,)), ((), ())), **_P)
     # value-table term: attention mass per key pixel, channel-tiled, then
@@ -585,8 +624,8 @@ def _shifted_region_mask(s, row0, gh, gw, R, wh, ww, WB, N, Hp, Wp, neg):
     return jnp.where(shifted, neg, 0.0)
 
 
-def _window_native_kernel(shift_ref, q_ref, k_ref, v_ref, ke_ref, qe_ref,
-                          ve_ref, selq_ref, selst_ref, sred_ref,
+def _window_native_kernel(shift_ref, q_ref, k_ref, v_ref, qr_ref, kr_ref,
+                          ve_ref, selq_ref, selst_ref,
                           sch_ref, mask_ref, out_ref, *, scale, wh,
                           ww, WB, N, Hp, Wp, neg, exact):
     # exact: f32 inputs demand HIGHEST (multi-pass) MXU precision to match
@@ -605,16 +644,15 @@ def _window_native_kernel(shift_ref, q_ref, k_ref, v_ref, ke_ref, qe_ref,
     cellmask = mask_ref[:] + _shifted_region_mask(
         shift_ref[0], shift_ref[1], pl.program_id(2), pl.program_id(3),
         R, wh, ww, WB, N, Hp, Wp, neg)
-    sred = sred_ref[:].astype(cd)   # 0/1 selectors: exact in bf16
-    out = _attend_head(q, k, v, ke_ref[0], qe_ref[0], ve_ref[0],
-                       selq_ref[:], selst_ref[:], sred,
+    out = _attend_head(q, k, v, qr_ref[0, 0, 0, 0], kr_ref[0, 0, 0, 0],
+                       ve_ref[0], selq_ref[:], selst_ref[:],
                        sch_ref[:], cellmask, scale, _P, cd, P, hd)
     out_ref[0, 0, 0] = out.astype(out_ref.dtype)
 
 
-def _window_native_kernel_direct(shift_ref, x_ref, ke_ref, qe_ref,
+def _window_native_kernel_direct(shift_ref, x_ref, qr_ref, kr_ref,
                                  ve_ref, selq_ref, selst_ref,
-                                 sred_ref, sch_ref, mask_ref,
+                                 sch_ref, mask_ref,
                                  out_ref, *, scale, wh, ww, WB, N, Hp, Wp,
                                  neg, exact, num_heads, hd):
     """Direct-packing variant: the qkv block arrives in the natural
@@ -632,7 +670,6 @@ def _window_native_kernel_direct(shift_ref, x_ref, ke_ref, qe_ref,
     cellmask = mask_ref[:] + _shifted_region_mask(
         shift_ref[0], shift_ref[1], pl.program_id(1), pl.program_id(2),
         R, wh, ww, WB, N, Hp, Wp, neg)
-    sred = sred_ref[:].astype(cd)
     selq = selq_ref[:]
     selst = selst_ref[:]
     sch = sch_ref[:]
@@ -643,27 +680,28 @@ def _window_native_kernel_direct(shift_ref, x_ref, ke_ref, qe_ref,
         k = x2[:, (h + i) * hd:(h + i + 1) * hd]
         v = x2[:, (2 * h + i) * hd:(2 * h + i + 1) * hd]
         outs.append(_attend_head(
-            q, k, v, ke_ref[i], qe_ref[i], ve_ref[i], selq, selst,
-            sred, sch, cellmask, scale, _P, cd, P, hd))
+            q, k, v, qr_ref[0, 0, 0, i], kr_ref[0, 0, 0, i], ve_ref[i],
+            selq, selst, sch, cellmask, scale, _P, cd, P, hd))
     out = jnp.concatenate(outs, axis=-1)            # [R, h*hd]
     out_ref[0, 0, :, 0] = out.reshape(wh, x.shape[1], h * hd).astype(
         out_ref.dtype)
 
 
-def window_attention_native(qkv, ke_flat, qe_flat, ve_flat, shift,
+def window_attention_native(qkv, qr, kr, ve_flat, shift,
                             scale, wh, ww, WB, num_heads, candidate_mask,
                             neg=-1e9, interpret=None, row0=0, hp_total=None,
                             direct=True, partition=False):
-    """Fused windowed NMP attention with in-kernel masks and VMEM-resident
-    positional tables.
+    """Fused windowed NMP attention with in-kernel masks and caller-
+    precomputed pixel-granular positional logits.
 
     Args:
       qkv: [B, Hp, Wp, N, 3*C] with channel order (component, head, hd)
         (already rolled for shifted layers).
-      ke_flat: [h, R, P*hd] ``k_embed[pixel(i), s, head]`` flattened over
-        (s, channel) lanes.
-      qe_flat: [h, R, P*hd] ``q_embed[p, pixel(j), head] * scale`` with p on
-        the P lane-group axis.
+      qr: [B, nwh, nwwB, h, R, P] per-cell positional logits
+        ``(q_i * scale) . k_embed[pixel(i), s]`` (see ``nmp.py
+        window_positional_terms`` — tiny batched einsums, K = hd).
+      kr: [B, nwh, nwwB, h, R, P] per-cell positional logits
+        ``k_j . (q_embed[p, pixel(j)] * scale)``.
       ve_flat: [h, R, hd*P] ``v_embed[pixel(i), s, head]`` CHANNEL-major
         ((c, s) lane order — ``pltpu.repeat(attn_s, hd)`` is exactly this
         expansion, see ``_attend_head``).
@@ -686,9 +724,9 @@ def window_attention_native(qkv, ke_flat, qe_flat, ve_flat, shift,
         from .partitioning import shard_over_batch
 
         return shard_over_batch(
-            _wan_core, (0, None, None, None, None, None,
-                        None, None, None, None, None), 5,
-            (qkv, ke_flat, qe_flat, ve_flat,
+            _wan_core, (0, 0, 0, None, None, None,
+                        None, None, None, None), 5,
+            (qkv, qr, kr, ve_flat,
              jnp.asarray(shift, jnp.int32), jnp.asarray(row0, jnp.int32))
             + _wan_consts(wh, ww, WB, int(qkv.shape[3]),
                           int(qkv.shape[4]) // (3 * num_heads),
@@ -700,7 +738,7 @@ def window_attention_native(qkv, ke_flat, qe_flat, ve_flat, shift,
     consts = _wan_consts(wh, ww, WB, int(qkv.shape[3]),
                          int(qkv.shape[4]) // (3 * num_heads),
                          candidate_mask, neg)
-    return _wan_core(qkv, ke_flat, qe_flat, ve_flat, shift, row0, *consts,
+    return _wan_core(qkv, qr, kr, ve_flat, shift, row0, *consts,
                      scale=scale, wh=wh, ww=ww, WB=WB, num_heads=num_heads,
                      candidate_mask=candidate_mask, neg=neg,
                      interpret=interpret, hp_total=hp_total,
@@ -712,7 +750,7 @@ def _wan_consts(wh, ww, WB, N, hd, candidate_mask, neg):
     custom_partitioning sees them as (replicated) operands — it rejects
     functions closing over materialized jnp constants."""
     P = wh * ww
-    s_red, s_ch_c = hd_group_selectors(P, hd)
+    s_ch_c = hd_group_selectors(P, hd)
     meta, sel = window_meta(wh, ww, WB, N)
     pix, win = meta[:, 0], meta[:, 1]
     basemask = np.where(win[:, None] != win[None, :], neg, 0.0)
@@ -722,12 +760,12 @@ def _wan_consts(wh, ww, WB, N, hd, candidate_mask, neg):
         np.fill_diagonal(same_pix, False)
         basemask = basemask + np.where(same_pix, neg, 0.0)
     return (jnp.asarray(sel), jnp.asarray(np.ascontiguousarray(sel.T)),
-            jnp.asarray(s_red), jnp.asarray(s_ch_c),
+            jnp.asarray(s_ch_c),
             jnp.asarray(basemask.astype(np.float32)))
 
 
-def _wan_core(qkv, ke_flat, qe_flat, ve_flat, shift, row0,
-              sel, selT, s_red, s_ch_c, basemask, *, scale, wh,
+def _wan_core(qkv, qr, kr, ve_flat, shift, row0,
+              sel, selT, s_ch_c, basemask, *, scale, wh,
               ww, WB, num_heads, candidate_mask, neg, interpret, hp_total,
               direct):
     B, Hp, Wp, N, C3 = qkv.shape
@@ -745,7 +783,7 @@ def _wan_core(qkv, ke_flat, qe_flat, ve_flat, shift, row0,
     PH = P * hd
     shift_arr = jnp.stack([jnp.asarray(shift, jnp.int32).reshape(()),
                            jnp.asarray(row0, jnp.int32).reshape(())])
-    consts = (sel, selT, s_red, s_ch_c, basemask)
+    consts = (sel, selT, s_ch_c, basemask)
 
     if direct:
         # Direct-packing path (default): no host-side qkv transpose at all.
@@ -756,7 +794,10 @@ def _wan_core(qkv, ke_flat, qe_flat, ve_flat, shift, row0,
         # transposed path below cost ~3.8 ms/frame at KITTI shapes across
         # the NMP stages (profiled reshape/copy ops, 2026-08-19).
         x = qkv.reshape(B, nwh, wh, nwwB, WBww * N, C3)
-        tbl = pl.BlockSpec((h, R, PH), lambda b, gh, gw: (0, 0, 0),
+        pos = pl.BlockSpec((1, 1, 1, h, R, P),
+                           lambda b, gh, gw: (b, gh, gw, 0, 0, 0),
+                           memory_space=pltpu.VMEM)
+        tbl = pl.BlockSpec((h, R, hd * P), lambda b, gh, gw: (0, 0, 0),
                            memory_space=pltpu.VMEM)
         cst = lambda shape: pl.BlockSpec(  # noqa: E731
             shape, lambda b, gh, gw: tuple(0 for _ in shape),
@@ -773,9 +814,9 @@ def _wan_core(qkv, ke_flat, qe_flat, ve_flat, shift, row0,
                 pl.BlockSpec((1, 1, wh, 1, WBww * N, C3),
                              lambda b, gh, gw: (b, gh, 0, gw, 0, 0),
                              memory_space=pltpu.VMEM),
-                tbl, tbl, tbl,
+                pos, pos, tbl,
                 cst((R, P)), cst((P, R)),
-                cst((PH, P)), cst((PH, hd)),
+                cst((PH, hd)),
                 cst((R, R)),
             ],
             out_specs=pl.BlockSpec((1, 1, wh, 1, WBww * N, h * hd),
@@ -784,7 +825,7 @@ def _wan_core(qkv, ke_flat, qe_flat, ve_flat, shift, row0,
             out_shape=jax.ShapeDtypeStruct(
                 (B, nwh, wh, nwwB, WBww * N, h * hd), qkv.dtype),
             interpret=interpret,
-        )(shift_arr, x, ke_flat, qe_flat, ve_flat, *consts)
+        )(shift_arr, x, qr, kr, ve_flat, *consts)
         return out.reshape(B, Hp, Wp, N, h * hd)
 
     # transposed path (A/B reference): one fused XLA transpose packs tokens
@@ -800,7 +841,10 @@ def _wan_core(qkv, ke_flat, qe_flat, ve_flat, shift, row0,
             (comp, i, (b * nwh + gh) * nwwB + gw, 0, 0),
             memory_space=pltpu.VMEM)
 
-    tbl = pl.BlockSpec((1, R, PH), lambda b, i, gh, gw: (i, 0, 0),
+    pos = pl.BlockSpec((1, 1, 1, 1, R, P),
+                       lambda b, i, gh, gw: (b, gh, gw, i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    tbl = pl.BlockSpec((1, R, hd * P), lambda b, i, gh, gw: (i, 0, 0),
                        memory_space=pltpu.VMEM)
     cst = lambda shape: pl.BlockSpec(  # noqa: E731
         shape, lambda b, i, gh, gw: tuple(0 for _ in shape),
@@ -819,22 +863,22 @@ def _wan_core(qkv, ke_flat, qe_flat, ve_flat, shift, row0,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             comp_spec(0), comp_spec(1), comp_spec(2),
-            tbl, tbl, tbl,
+            pos, pos, tbl,
             cst((R, P)), cst((P, R)),
-            cst((PH, P)), cst((PH, hd)),
+            cst((PH, hd)),
             cst((R, R)),
         ],
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((h, 1, G, R, hd), qkv.dtype),
         interpret=interpret,
-    )(shift_arr, x, x, x, ke_flat, qe_flat, ve_flat, *consts)
+    )(shift_arr, x, x, x, qr, kr, ve_flat, *consts)
 
     out = out.reshape(h, B, nwh, nwwB, wh, WBww, N, hd)
     out = out.transpose(1, 2, 4, 3, 5, 6, 0, 7)
     return out.reshape(B, Hp, Wp, N, h * hd)
 
 
-def window_attention_native_reference(qkv, ke_flat, qe_flat, ve_flat, shift,
+def window_attention_native_reference(qkv, qr, kr, ve_flat, shift,
                                       scale, wh, ww, WB,
                                       num_heads, candidate_mask, neg=-1e9,
                                       row0=0, hp_total=None):
@@ -842,6 +886,8 @@ def window_attention_native_reference(qkv, ke_flat, qe_flat, ve_flat, shift,
 
     Mirrors the kernel math exactly, including the coordinate-derived masks
     (evaluated at global y = row0 + local y against the global hp_total).
+    qr/kr: [B, nwh, nwwB, h, R, P] caller-precomputed positional logits
+    (``nmp.py window_positional_terms``).
     """
     B, Hp, Wp, N, C3 = qkv.shape
     if hp_total is None:
@@ -862,13 +908,13 @@ def window_attention_native_reference(qkv, ke_flat, qe_flat, ve_flat, shift,
     v = x[2]
     logits = jnp.einsum("hgic,hgjc->hgij", q, k,
                         preferred_element_type=f32)
-    ke = ke_flat.reshape(h, R, P, hd).astype(f32)
-    qe = qe_flat.reshape(h, R, P, hd).astype(f32)
     ve = ve_flat.reshape(h, R, hd, P).astype(f32)  # channel-major
-    qr = jnp.einsum("hgic,hisc->hgis", q, ke)
-    logits = logits + jnp.einsum("hgis,js->hgij", qr, jnp.asarray(sel))
-    kr = jnp.einsum("hgjc,hjpc->hgjp", k, qe)
-    logits = logits + jnp.einsum("ip,hgjp->hgij", jnp.asarray(sel), kr)
+    qr_g = qr.reshape(B * nwh * nwwB, h, R, P).transpose(1, 0, 2, 3)
+    kr_g = kr.reshape(B * nwh * nwwB, h, R, P).transpose(1, 0, 2, 3)
+    logits = logits + jnp.einsum("hgis,js->hgij", qr_g.astype(f32),
+                                 jnp.asarray(sel))
+    logits = logits + jnp.einsum("ip,hgjp->hgij", jnp.asarray(sel),
+                                 kr_g.astype(f32))
 
     pix, win, lr, wx = (np.asarray(meta[:, c]) for c in range(4))
     mask = np.where(win[:, None] != win[None, :], neg, 0.0)
@@ -920,54 +966,47 @@ def window_attention_native_reference(qkv, ke_flat, qe_flat, ve_flat, shift,
 # full-model; the train step runs it 2x per layer).
 # ``_wan_bwd_fused_kernel`` gives the backward the same treatment: per
 # (head, grid-cell) it recomputes the attention probabilities ONCE with
-# ``_head_probs`` (identical math = bit-consistent remat) and emits both
-# the d(q,k,v) blocks (head-major; one fused transpose reassembles image
-# layout) and the f32-accumulated positional-table cotangents
-# d(ke)/d(qe)/d(ve) (constant index map over the trailing grid dims —
-# sequential revisit accumulation).  Under batch partitioning the table
-# accumulator gains a leading batch dim and the cross-shard reduction
-# happens in the (sharded) ``sum`` outside — the same gradient volume the
-# dense backward's expanded-table cotangents already cost (bench_scaling's
-# [1x, 1.75x] all-reduce contract).
+# ``_head_probs`` (identical math = bit-consistent remat) and emits the
+# d(q,k,v) blocks (head-major; one fused transpose reassembles image
+# layout), the per-cell [R, P] positional-logit cotangents d(qr)/d(kr)
+# (plain block outputs — the caller's einsum VJP carries them to the
+# table and the positional d(q)/d(k) halves), and the f32-accumulated
+# value-table cotangent d(ve) (constant index map over the trailing grid
+# dims — sequential revisit accumulation).  Under batch partitioning the
+# d(ve) accumulator gains a leading batch dim and the cross-shard
+# reduction happens in the (sharded) ``sum`` outside.
 #
 # All contractions are 2-D dots mirroring the forward's selector algebra;
-# the backward needs four more constant 0/1 selectors (``_bwd_selectors``):
-# transposed expansions (sredT, sch_cT) and the complementary lane-group
-# reducers (c_red: (s, c)-major lane -> channel; p_red: (c, s)-major lane
-# -> pixel).
+# the backward needs two more constant 0/1 selectors (``_bwd_selectors``):
+# the transposed channel expansion sch_cT and the (c, s)-major lane ->
+# pixel reducer p_red for the value-table branch.
 
 def _bwd_selectors(P, hd):
-    """Constant selectors for the backward's lane-group algebra."""
+    """Constant selectors for the backward's value-table lane algebra."""
     PH = P * hd
-    s_ids = np.repeat(np.arange(P), hd)      # (s, c) s-major lane -> pixel
-    c_ids = np.tile(np.arange(hd), P)        # (s, c) s-major lane -> channel
     c_ids_c = np.repeat(np.arange(hd), P)    # (c, s) c-major lane -> channel
     s_ids_c = np.tile(np.arange(P), hd)      # (c, s) c-major lane -> pixel
-    sredT = (np.arange(P)[:, None] == s_ids[None, :]).astype(np.float32)
-    c_red = (c_ids[:, None] == np.arange(hd)[None, :]).astype(np.float32)
     sch_cT = (np.arange(hd)[:, None] == c_ids_c[None, :]).astype(np.float32)
     p_red = (s_ids_c[:, None] == np.arange(P)[None, :]).astype(np.float32)
-    assert sredT.shape == (P, PH) and c_red.shape == (PH, hd)
     assert sch_cT.shape == (hd, PH) and p_red.shape == (PH, P)
-    return (jnp.asarray(sredT), jnp.asarray(c_red),
-            jnp.asarray(sch_cT), jnp.asarray(p_red))
+    return (jnp.asarray(sch_cT), jnp.asarray(p_red))
 
 
-def _bwd_head_core(q_s, k, v, ke, qe, ve_c, g, selq, selst, sred, sredT,
-                   c_red, sch_cT, p_red, cellmask, scale, _P, cd, P, hd,
+def _bwd_head_core(q_s, k, v, qr, kr, ve_c, g, selq, selst,
+                   sch_cT, p_red, cellmask, scale, _P, cd, P, hd,
                    want_dx, want_tbl, emit_tbl=None):
     """One head's backward on [R, hd] tokens (q_s PRE-scaled, like fwd).
 
-    Returns (dq, dk, dv, dke, dqe, dve_c) with the dx/table halves gated by
-    ``want_dx``/``want_tbl``; with ``emit_tbl(c, val)`` each [R, PH] table
-    cotangent (c: 0=ke, 1=qe, 2=ve) is handed off AS SOON as computed and
-    None returned in its slot — keeping at most one alive (three co-live
-    [R, PH] f32 temporaries pushed the fused kernel past the 16 MB scoped
-    VMEM at training shapes).  d(q) is the cotangent of the UNSCALED q;
-    d(qe) of the scale-folded table exactly as passed.
+    Returns (dq, dk, dv, dqr, dkr, dve_c).  dqr/dkr are the [R, P]
+    cotangents of the caller-precomputed positional-logit blocks — the
+    caller's einsum VJP turns them into d(table) and the positional halves
+    of d(q)/d(k) (the in-kernel [R, P*hd] expansions of the old
+    formulation are gone).  With ``emit_tbl(val)`` the [R, hd*P] value-
+    table cotangent is handed off as soon as computed and None returned in
+    its slot (scoped-VMEM budget).  d(q) is the cotangent of the UNSCALED
+    q; d(qr)/d(kr) of the scale-folded blocks exactly as passed.
     """
-    attn = _head_probs(q_s, k, ke, qe, selq, selst, sred, cellmask,
-                       _P, cd, P)
+    attn = _head_probs(q_s, k, qr, kr, selq, selst, cellmask, _P, cd)
     attn_c = attn.astype(cd)
     g = g.astype(cd)
     # value-table branch: gexp[i, c*P+s] = g[i, c] (channel-major lanes)
@@ -975,13 +1014,13 @@ def _bwd_head_core(q_s, k, v, ke, qe, ve_c, g, selq, selst, sred, sredT,
                            (((1,), (0,)), ((), ())), **_P)     # [R, hd*P]
     datt_s = lax.dot_general((gexp * ve_c.astype(cd)), p_red.astype(cd),
                              (((1,), (0,)), ((), ())), **_P)   # [R, P]
-    dke = dqe = dve_c = None
+    dve_c = None
     if want_tbl:
         attn_sT = lax.dot_general(attn_c, selq,
                                   (((1,), (0,)), ((), ())), **_P)  # [R, P]
         dve_c = gexp * pltpu.repeat(attn_sT, hd, 1)
         if emit_tbl is not None:
-            emit_tbl(2, dve_c)
+            emit_tbl(dve_c)
             dve_c = None
     # d(attn) = g v^T + spread of the per-pixel value-table mass
     dattn = lax.dot_general(g, v.astype(cd),
@@ -992,50 +1031,30 @@ def _bwd_head_core(q_s, k, v, ke, qe, ve_c, g, selq, selst, sred, sredT,
     dlog = attn_c * (dattn - jnp.sum(dattn * attn_c, axis=-1, keepdims=True))
     # positional-logit branches (fwd: logits += qr @ selst + selq @ kr^T)
     dqr = lax.dot_general(dlog, selq, (((1,), (0,)), ((), ())), **_P)
-    dprod_q = lax.dot_general(dqr, sredT.astype(cd),
-                              (((1,), (0,)), ((), ())), **_P)  # [R, PH]
-    if want_tbl:
-        dke = dprod_q * pltpu.repeat(q_s, P, 1)
-        if emit_tbl is not None:
-            emit_tbl(0, dke)
-            dke = None
+    dkr = lax.dot_general(dlog, selq, (((0,), (0,)), ((), ())), **_P)
     dq = dk = dv = None
     if want_dx:
-        dq_s = lax.dot_general(dlog, k, (((1,), (0,)), ((), ())), **_P)
-        dq_s = dq_s + lax.dot_general(dprod_q * ke.astype(cd),
-                                      c_red.astype(cd),
-                                      (((1,), (0,)), ((), ())), **_P)
-        dq = dq_s * scale
-    dkr = lax.dot_general(dlog, selq, (((0,), (0,)), ((), ())), **_P)
-    dprod_k = lax.dot_general(dkr, sredT.astype(cd),
-                              (((1,), (0,)), ((), ())), **_P)  # [R, PH]
-    if want_tbl:
-        dqe = dprod_k * pltpu.repeat(k, P, 1)
-        if emit_tbl is not None:
-            emit_tbl(1, dqe)
-            dqe = None
-    if want_dx:
+        dq = lax.dot_general(dlog, k, (((1,), (0,)), ((), ())), **_P) * scale
         dk = lax.dot_general(dlog, q_s, (((0,), (0,)), ((), ())), **_P)
-        dk = dk + lax.dot_general(dprod_k * qe.astype(cd),
-                                  c_red.astype(cd),
-                                  (((1,), (0,)), ((), ())), **_P)
         dv = lax.dot_general(attn_c, g, (((0,), (0,)), ((), ())), **_P)
-    return dq, dk, dv, dke, dqe, dve_c
+    return dq, dk, dv, dqr, dkr, dve_c
 
 
-def _wan_bwd_fused_kernel(shift_ref, q_ref, k_ref, v_ref, g_ref, ke_ref,
-                          qe_ref, ve_ref, selq_ref, selst_ref, sred_ref,
-                          sredT_ref, cred_ref, schT_ref, pred_ref, mask_ref,
-                          dq_ref, dk_ref, dv_ref, dtbl_ref, *, scale, wh,
+def _wan_bwd_fused_kernel(shift_ref, q_ref, k_ref, v_ref, g_ref, qr_ref,
+                          kr_ref, ve_ref, selq_ref, selst_ref,
+                          schT_ref, pred_ref, mask_ref,
+                          dq_ref, dk_ref, dv_ref, dqr_ref, dkr_ref,
+                          dve_ref, *, scale, wh,
                           ww, WB, N, Hp, Wp, neg, exact, hd, batch_out):
-    """One (head, grid-cell) backward: d(q,k,v) blocks (head-major) PLUS
-    the positional-table cotangents, off a SINGLE probability recompute.
+    """One (head, grid-cell) backward: d(q,k,v) blocks (head-major), the
+    per-cell d(qr)/d(kr) positional-logit cotangents, and the accumulated
+    d(ve) — off a SINGLE probability recompute.
 
     An earlier two-kernel split (dx with heads unrolled + a separate
     table-grad kernel) recomputed the attention probabilities twice per
     (head, cell); merging them was worth ~9% of the whole train step
     (r4 trace: the two bwd pallas regions carried 203 of 888 ms).
-    dtbl accumulates f32 across sequential grid revisits — per head
+    dve accumulates f32 across sequential grid revisits — per head
     (``batch_out=False``) or per (batch, head) partials whose sharded sum
     outside carries the cross-shard reduction (``batch_out=True``).
     """
@@ -1058,45 +1077,48 @@ def _wan_bwd_fused_kernel(shift_ref, q_ref, k_ref, v_ref, g_ref, ke_ref,
         first = ((pl.program_id(1) == 0) & (pl.program_id(2) == 0)
                  & (pl.program_id(3) == 0))
 
-    def emit_tbl(c, val):
-        # immediate predicated write/accumulate: keeps at most one [R, PH]
-        # f32 table cotangent alive in the kernel (scoped-VMEM budget)
+    def emit_tbl(val):
+        # immediate predicated write/accumulate of the [R, hd*P] f32
+        # value-table cotangent (scoped-VMEM budget)
         val = val.astype(jnp.float32)
 
         @pl.when(first)
         def _():
             if batch_out:
-                dtbl_ref[0, c, 0] = val
+                dve_ref[0, 0] = val
             else:
-                dtbl_ref[c, 0] = val
+                dve_ref[0] = val
 
         @pl.when(jnp.logical_not(first))
         def _():
             if batch_out:
-                dtbl_ref[0, c, 0] += val
+                dve_ref[0, 0] += val
             else:
-                dtbl_ref[c, 0] += val
+                dve_ref[0] += val
 
-    dq, dk, dv, _, _, _ = _bwd_head_core(
-        q_s, k, v, ke_ref[0], qe_ref[0], ve_ref[0], g, selq_ref[:],
-        selst_ref[:], sred_ref[:].astype(cd), sredT_ref[:], cred_ref[:],
+    dq, dk, dv, dqr, dkr, _ = _bwd_head_core(
+        q_s, k, v, qr_ref[0, 0, 0, 0], kr_ref[0, 0, 0, 0], ve_ref[0], g,
+        selq_ref[:], selst_ref[:],
         schT_ref[:], pred_ref[:], cellmask, scale, _P, cd, P, hd,
         True, True, emit_tbl=emit_tbl)
     sh = (wh, T, hd)
     dq_ref[0, 0, 0, :, 0] = dq.reshape(sh).astype(dq_ref.dtype)
     dk_ref[0, 0, 0, :, 0] = dk.reshape(sh).astype(dk_ref.dtype)
     dv_ref[0, 0, 0, :, 0] = dv.reshape(sh).astype(dv_ref.dtype)
+    dqr_ref[0, 0, 0, 0] = dqr.astype(dqr_ref.dtype)
+    dkr_ref[0, 0, 0, 0] = dkr.astype(dkr_ref.dtype)
 
 
-def _wan_bwd_core(g, qkv, ke_flat, qe_flat, ve_flat, shift, row0,
-                  sel, selT, s_red, s_ch_c, basemask, sredT, c_red, sch_cT,
+def _wan_bwd_core(g, qkv, qr, kr, ve_flat, shift, row0,
+                  sel, selT, s_ch_c, basemask, sch_cT,
                   p_red, *, scale, wh, ww, WB, num_heads, candidate_mask,
                   neg, interpret, hp_total, batch_out):
-    """The fused backward pallas_call; returns (dqkv, dtbl).
+    """The fused backward pallas_call; returns (dqkv, dqr, dkr, dve).
 
-    dtbl: [3, h, R, PH] fully accumulated (batch_out=False) or
-    [B, 3, h, R, PH] per-sample partials (batch_out=True — the caller's
-    sharded sum carries the cross-shard reduction under SPMD).
+    dqr/dkr: [B, nwh, nwwB, h, R, P] per-cell block outputs.  dve:
+    [h, R, hd*P] fully accumulated (batch_out=False) or [B, h, R, hd*P]
+    per-sample partials (batch_out=True — the caller's sharded sum
+    carries the cross-shard reduction under SPMD).
     """
     B, Hp, Wp, N, C3 = qkv.shape
     if hp_total is None:
@@ -1133,15 +1155,18 @@ def _wan_bwd_core(g, qkv, ke_flat, qe_flat, ve_flat, shift, row0,
         dxsp = pl.BlockSpec(blk7,
                             lambda b, i, gh, gw: (i, b, gh, 0, gw, 0, 0),
                             memory_space=pltpu.VMEM)
+        pos = pl.BlockSpec((1, 1, 1, 1, R, P),
+                           lambda b, i, gh, gw: (b, gh, gw, i, 0, 0),
+                           memory_space=pltpu.VMEM)
         tb1 = pl.BlockSpec((1, R, PH), lambda b, i, gh, gw: (i, 0, 0),
                            memory_space=pltpu.VMEM)
         cst = lambda shape: pl.BlockSpec(  # noqa: E731
             shape, lambda b, i, gh, gw: tuple(0 for _ in shape),
             memory_space=pltpu.VMEM)
-        tbl_spec = pl.BlockSpec((1, 3, 1, R, PH),
-                                lambda b, i, gh, gw: (b, 0, i, 0, 0),
+        dve_spec = pl.BlockSpec((1, 1, R, PH),
+                                lambda b, i, gh, gw: (b, i, 0, 0),
                                 memory_space=pltpu.VMEM)
-        tbl_shape = jax.ShapeDtypeStruct((B, 3, h, R, PH), jnp.float32)
+        dve_shape = jax.ShapeDtypeStruct((B, h, R, PH), jnp.float32)
     else:
         grid = (h, B, nwh, nwwB)
         comp = lambda c: pl.BlockSpec(  # noqa: E731
@@ -1153,52 +1178,56 @@ def _wan_bwd_core(g, qkv, ke_flat, qe_flat, ve_flat, shift, row0,
         dxsp = pl.BlockSpec(blk7,
                             lambda i, b, gh, gw: (i, b, gh, 0, gw, 0, 0),
                             memory_space=pltpu.VMEM)
+        pos = pl.BlockSpec((1, 1, 1, 1, R, P),
+                           lambda i, b, gh, gw: (b, gh, gw, i, 0, 0),
+                           memory_space=pltpu.VMEM)
         tb1 = pl.BlockSpec((1, R, PH), lambda i, b, gh, gw: (i, 0, 0),
                            memory_space=pltpu.VMEM)
         cst = lambda shape: pl.BlockSpec(  # noqa: E731
             shape, lambda i, b, gh, gw: tuple(0 for _ in shape),
             memory_space=pltpu.VMEM)
-        tbl_spec = pl.BlockSpec((3, 1, R, PH),
-                                lambda i, b, gh, gw: (0, i, 0, 0),
+        dve_spec = pl.BlockSpec((1, R, PH),
+                                lambda i, b, gh, gw: (i, 0, 0),
                                 memory_space=pltpu.VMEM)
-        tbl_shape = jax.ShapeDtypeStruct((3, h, R, PH), jnp.float32)
+        dve_shape = jax.ShapeDtypeStruct((h, R, PH), jnp.float32)
 
     kernel = functools.partial(
         _wan_bwd_fused_kernel, scale=scale, wh=wh, ww=ww, WB=WB, N=N,
         Hp=hp_total, Wp=Wp, neg=neg, exact=exact, hd=hd,
         batch_out=batch_out)
     d8 = jax.ShapeDtypeStruct((h, B, nwh, wh, nwwB, T, hd), qkv.dtype)
-    dq8, dk8, dv8, dtbl = pl.pallas_call(
+    dpos = jax.ShapeDtypeStruct((B, nwh, nwwB, h, R, P), qr.dtype)
+    dq8, dk8, dv8, dqr, dkr, dve = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             comp(0), comp(1), comp(2), gsp,
-            tb1, tb1, tb1,
-            cst((R, P)), cst((P, R)), cst((PH, P)), cst((P, PH)),
-            cst((PH, hd)), cst((hd, PH)), cst((PH, P)), cst((R, R)),
+            pos, pos, tb1,
+            cst((R, P)), cst((P, R)),
+            cst((hd, PH)), cst((PH, P)), cst((R, R)),
         ],
-        out_specs=(dxsp, dxsp, dxsp, tbl_spec),
-        out_shape=(d8, d8, d8, tbl_shape),
+        out_specs=(dxsp, dxsp, dxsp, pos, pos, dve_spec),
+        out_shape=(d8, d8, d8, dpos, dpos, dve_shape),
         interpret=interpret,
-    )(shift_arr, x8, x8, x8, g8, ke_flat, qe_flat, ve_flat, sel, selT,
-      s_red, sredT, c_red, sch_cT, p_red, basemask)
+    )(shift_arr, x8, x8, x8, g8, qr, kr, ve_flat, sel, selT,
+      sch_cT, p_red, basemask)
     # assemble d(qkv) back to image layout (one fused transpose)
     cat = jnp.concatenate([dq8, dk8, dv8], axis=0)    # [3h, B, ...]
     dqkv = cat.transpose(1, 2, 3, 4, 5, 0, 6).reshape(
         B, nwh, wh, nwwB, T, C3).reshape(B, Hp, Wp, N, C3)
-    return dqkv, dtbl
+    return dqkv, dqr, dkr, dve
 
 
-def _wan_bwd_part(g, qkv, ke_flat, qe_flat, ve_flat, shift, row0,
-                  sel, selT, s_red, s_ch_c, basemask, sredT, c_red,
+def _wan_bwd_part(g, qkv, qr, kr, ve_flat, shift, row0,
+                  sel, selT, s_ch_c, basemask,
                   sch_cT, p_red, **kw):
-    return _wan_bwd_core(g, qkv, ke_flat, qe_flat, ve_flat, shift, row0,
-                         sel, selT, s_red, s_ch_c, basemask, sredT, c_red,
+    return _wan_bwd_core(g, qkv, qr, kr, ve_flat, shift, row0,
+                         sel, selT, s_ch_c, basemask,
                          sch_cT, p_red, batch_out=True, **kw)
 
 
-def window_attention_native_bwd(g, qkv, ke_flat, qe_flat, ve_flat, shift,
+def window_attention_native_bwd(g, qkv, qr, kr, ve_flat, shift,
                                 row0, scale, wh, ww, WB, num_heads,
                                 candidate_mask, neg, hp_total,
                                 partition=False, interpret=None):
@@ -1213,53 +1242,52 @@ def window_attention_native_bwd(g, qkv, ke_flat, qe_flat, ve_flat, shift,
               candidate_mask=candidate_mask, neg=neg, interpret=interpret,
               hp_total=hp_total)
     if not partition:
-        dqkv, dtbl = _wan_bwd_core(g, qkv, ke_flat, qe_flat, ve_flat,
-                                   shift, row0, *consts, *bsel,
-                                   batch_out=False, **kw)
+        dqkv, dqr, dkr, dve = _wan_bwd_core(g, qkv, qr, kr, ve_flat,
+                                            shift, row0, *consts, *bsel,
+                                            batch_out=False, **kw)
     else:
-        # batch-partitioned path: one multi-output op — dqkv stays
-        # sharded; the per-sample table partials' sharded sum below
-        # inserts the cross-shard reduction (same gradient volume the
-        # dense backward already cost)
+        # batch-partitioned path: one multi-output op — dqkv/dqr/dkr stay
+        # sharded; the per-sample d(ve) partials' sharded sum below
+        # inserts the cross-shard reduction
         from .partitioning import shard_over_batch
 
-        args = (g, qkv, ke_flat, qe_flat, ve_flat,
+        args = (g, qkv, qr, kr, ve_flat,
                 jnp.asarray(shift, jnp.int32),
                 jnp.asarray(row0, jnp.int32)) + consts + bsel
-        bdims = (0, 0) + (None,) * (len(args) - 2)
+        bdims = (0, 0, 0, 0) + (None,) * (len(args) - 4)
         statics = tuple(sorted(kw.items()))
-        dqkv, dtbl = shard_over_batch(_wan_bwd_part, bdims, (5, 5), args,
-                                      statics)
-        dtbl = dtbl.sum(axis=0)
-    return (dqkv, dtbl[0].astype(ke_flat.dtype),
-            dtbl[1].astype(qe_flat.dtype), dtbl[2].astype(ve_flat.dtype))
+        dqkv, dqr, dkr, dve = shard_over_batch(
+            _wan_bwd_part, bdims, (5, 6, 6, 4), args, statics)
+        dve = dve.sum(axis=0)
+    return (dqkv, dqr.astype(qr.dtype), dkr.astype(kr.dtype),
+            dve.astype(ve_flat.dtype))
 
 
 @functools.partial(jax.custom_vjp,
                    nondiff_argnums=(6, 7, 8, 9, 10, 11, 12, 13, 14))
-def window_attention_native_op(qkv, ke_flat, qe_flat, ve_flat,
+def window_attention_native_op(qkv, qr, kr, ve_flat,
                                shift, row0, scale, wh, ww, WB, num_heads,
                                candidate_mask, neg=-1e9, hp_total=None,
                                partition=False):
     """Differentiable window-native attention (Pallas fwd, remat bwd)."""
-    return window_attention_native(qkv, ke_flat, qe_flat, ve_flat,
+    return window_attention_native(qkv, qr, kr, ve_flat,
                                    shift, scale, wh, ww, WB, num_heads,
                                    candidate_mask, neg, row0=row0,
                                    hp_total=hp_total, partition=partition)
 
 
-def _wan_fwd(qkv, ke_flat, qe_flat, ve_flat, shift, row0, scale, wh, ww,
+def _wan_fwd(qkv, qr, kr, ve_flat, shift, row0, scale, wh, ww,
              WB, num_heads, candidate_mask, neg, hp_total, partition=False):
-    out = window_attention_native(qkv, ke_flat, qe_flat, ve_flat,
+    out = window_attention_native(qkv, qr, kr, ve_flat,
                                   shift, scale, wh, ww, WB, num_heads,
                                   candidate_mask, neg, row0=row0,
                                   hp_total=hp_total, partition=partition)
-    return out, (qkv, ke_flat, qe_flat, ve_flat, shift, row0)
+    return out, (qkv, qr, kr, ve_flat, shift, row0)
 
 
 def _wan_bwd(scale, wh, ww, WB, num_heads, candidate_mask, neg, hp_total,
              partition, res, g):
-    qkv, ke_flat, qe_flat, ve_flat, shift, row0 = res
+    qkv, qr, kr, ve_flat, shift, row0 = res
     import os
 
     if os.environ.get("NMRF_PALLAS_BWD", "1") == "0":
@@ -1267,15 +1295,15 @@ def _wan_bwd(scale, wh, ww, WB, num_heads, candidate_mask, neg, hp_total,
         # through the jnp reference) — for A/B timing and as insurance
         # against remote-Mosaic compile regressions at new shapes
         _, vjp = jax.vjp(
-            lambda qkv, ke, qe, ve: window_attention_native_reference(
-                qkv, ke, qe, ve, shift, scale, wh, ww, WB, num_heads,
+            lambda qkv, qr, kr, ve: window_attention_native_reference(
+                qkv, qr, kr, ve, shift, scale, wh, ww, WB, num_heads,
                 candidate_mask, neg, row0=row0, hp_total=hp_total),
-            qkv, ke_flat, qe_flat, ve_flat)
+            qkv, qr, kr, ve_flat)
         return vjp(g) + (None, None)
-    dqkv, dke, dqe, dve = window_attention_native_bwd(
-        g, qkv, ke_flat, qe_flat, ve_flat, shift, row0, scale, wh, ww,
+    dqkv, dqr, dkr, dve = window_attention_native_bwd(
+        g, qkv, qr, kr, ve_flat, shift, row0, scale, wh, ww,
         WB, num_heads, candidate_mask, neg, hp_total, partition=partition)
-    return dqkv, dke, dqe, dve, None, None
+    return dqkv, dqr, dkr, dve, None, None
 
 
 window_attention_native_op.defvjp(_wan_fwd, _wan_bwd)

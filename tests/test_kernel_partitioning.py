@@ -68,30 +68,33 @@ def test_window_attention_batch_partitioned():
     WB = 1
     P_ = wh * ww
     R = wh * WB * ww * N
+    nwh, nwwB = Hp // wh, Wp // (WB * ww)
     rng = np.random.RandomState(1)
     qkv = jnp.asarray(rng.randn(B, Hp, Wp, N, C3).astype(np.float32))
-    ke = jnp.asarray(rng.randn(h, R, P_ * hd).astype(np.float32))
-    qe = jnp.asarray(rng.randn(h, R, P_ * hd).astype(np.float32))
+    qr = jnp.asarray(rng.randn(B, nwh, nwwB, h, R, P_).astype(np.float32))
+    kr = jnp.asarray(rng.randn(B, nwh, nwwB, h, R, P_).astype(np.float32))
     ve = jnp.asarray(rng.randn(h, R, hd * P_).astype(np.float32))
     window_meta(wh, ww, WB, N)  # sanity: shapes consistent
 
-    ref = window_attention_native(qkv, ke, qe, ve, 2, 0.25, wh, ww, WB, h,
+    ref = window_attention_native(qkv, qr, kr, ve, 2, 0.25, wh, ww, WB, h,
                                   True)
 
     mesh = dp_mesh()
     sh = NamedSharding(mesh, P("data"))
     rep = NamedSharding(mesh, P())
     qkvs = jax.device_put(qkv, sh)
-    kes, qes, ves = (jax.device_put(t, rep) for t in (ke, qe, ve))
+    qrs = jax.device_put(qr, sh)
+    krs = jax.device_put(kr, sh)
+    ves = jax.device_put(ve, rep)
 
-    def fn(qkv, ke, qe, ve):
-        return window_attention_native(qkv, ke, qe, ve, 2, 0.25, wh, ww,
+    def fn(qkv, qr, kr, ve):
+        return window_attention_native(qkv, qr, kr, ve, 2, 0.25, wh, ww,
                                        WB, h, True, partition=True)
 
-    out = jax.jit(fn)(qkvs, kes, qes, ves)
+    out = jax.jit(fn)(qkvs, qrs, krs, ves)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
     assert out.sharding.is_equivalent_to(sh, out.ndim)
-    hlo = _hlo(fn, qkvs, kes, qes, ves)
+    hlo = _hlo(fn, qkvs, qrs, krs, ves)
     assert not re.search(r"all-gather", hlo), "batch was gathered"
 
 
@@ -171,9 +174,9 @@ def test_dp_train_step_grad_matches_with_partitioned_kernels():
 
 def test_window_native_dp_grad_with_pallas_backward():
     """The r4 fused Pallas BACKWARD under batch partitioning: a 4-way DP
-    value_and_grad through window_attention_native_op (dx kernel sharded;
-    per-sample table partials summed across shards) equals the
-    single-device result, including the positional-table cotangents."""
+    value_and_grad through window_attention_native_op (dx/dqr/dkr kernels
+    sharded; per-sample d(ve) partials summed across shards) equals the
+    single-device result, including the value-table cotangent."""
     from nmrf_tpu.ops.pallas.attention import window_attention_native_op
 
     B, H, W, N, dim, heads, ws, WB = 4, 8, 12, 2, 16, 2, 4, 3
@@ -181,27 +184,33 @@ def test_window_native_dp_grad_with_pallas_backward():
     scale = hd ** -0.5
     Pw = ws * ws
     R = ws * WB * ws * N
+    nwh, nwwB = H // ws, W // (WB * ws)
     rng = np.random.RandomState(7)
     qkv = jnp.asarray(rng.randn(B, H, W, N, 3 * dim).astype(np.float32))
-    ke, qe, ve = (jnp.asarray(
+    qr, kr = (jnp.asarray(
+        (rng.randn(B, nwh, nwwB, heads, R, Pw) * 0.1).astype(np.float32))
+        for _ in range(2))
+    ve = jnp.asarray(
         (rng.randn(heads, R, Pw * hd) * 0.1).astype(np.float32))
-        for _ in range(3))
 
-    def loss(qkv, ke, qe, ve, part):
+    def loss(qkv, qr, kr, ve, part):
         out = window_attention_native_op(
-            qkv, ke, qe, ve, 2, 0, scale, ws, ws, WB, heads, True,
+            qkv, qr, kr, ve, 2, 0, scale, ws, ws, WB, heads, True,
             -1e9, None, part)
         return (out * out).sum()
 
     lr, gr = jax.value_and_grad(
-        lambda *a: loss(*a, False), argnums=(0, 1, 2, 3))(qkv, ke, qe, ve)
+        lambda *a: loss(*a, False), argnums=(0, 1, 2, 3))(qkv, qr, kr, ve)
 
     mesh = dp_mesh()
-    qs = jax.device_put(qkv, NamedSharding(mesh, P("data")))
+    sh = NamedSharding(mesh, P("data"))
+    qs = jax.device_put(qkv, sh)
+    qrs = jax.device_put(qr, sh)
+    krs = jax.device_put(kr, sh)
     lp, gp = jax.jit(jax.value_and_grad(
-        lambda *a: loss(*a, True), argnums=(0, 1, 2, 3)))(qs, ke, qe, ve)
+        lambda *a: loss(*a, True), argnums=(0, 1, 2, 3)))(qs, qrs, krs, ve)
 
     np.testing.assert_allclose(float(lp), float(lr), rtol=1e-5)
-    for name, a, b in zip(("dqkv", "dke", "dqe", "dve"), gp, gr):
+    for name, a, b in zip(("dqkv", "dqr", "dkr", "dve"), gp, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-4, err_msg=name)

@@ -144,25 +144,30 @@ class TestStripeAttentionDirect:
             (q, k, v), eps=1e-2, probes=5)
 
 
+def _window_inputs(table, ws, heads, hd, WB, N, scale, qkv):
+    """(qr, kr, ve) kernel inputs from the module's parameter table, in
+    qkv.dtype (qkv: already rolled) — mirrors nmp.WindowAttention."""
+    from nmrf_tpu.models.nmp import _relative_position_index
+
+    P = ws * ws
+    rel = _relative_position_index(ws, ws)
+    rpe = table[rel.reshape(-1)].reshape(P, P, heads, 3 * hd).astype(
+        qkv.dtype)
+    q_e, k_e, v_e = jnp.split(rpe, 3, axis=-1)
+    meta, sel = fa.window_meta(ws, ws, WB, N)
+    pixs = meta[:, 0]
+    R = len(pixs)
+    qr, kr = fa.window_positional_terms(qkv, k_e, q_e, scale, ws, ws, WB,
+                                        heads)
+    # ve is CHANNEL-major (c, s) — see window_attention_native docstring
+    ve = v_e.transpose(2, 0, 3, 1)[:, pixs].reshape(heads, R, -1)
+    return qr, kr, ve
+
+
 class TestWindowNative:
-    """window_attention_native: in-kernel masks + flattened positional
-    tables must reproduce the WindowAttention module math exactly."""
-
-    def _tables(self, table, ws, heads, hd, WB, N, scale):
-        from nmrf_tpu.models.nmp import _relative_position_index
-
-        P = ws * ws
-        rel = _relative_position_index(ws, ws)
-        rpe = table[rel.reshape(-1)].reshape(P, P, heads, 3 * hd)
-        q_e, k_e, v_e = jnp.split(rpe, 3, axis=-1)
-        meta, sel = fa.window_meta(ws, ws, WB, N)
-        pixs = meta[:, 0]
-        R = len(pixs)
-        ke = k_e.transpose(2, 0, 1, 3)[:, pixs].reshape(heads, R, -1)
-        qe = (q_e * scale).transpose(2, 1, 0, 3)[:, pixs].reshape(heads, R, -1)
-        # ve is CHANNEL-major (c, s) — see window_attention_native docstring
-        ve = v_e.transpose(2, 0, 3, 1)[:, pixs].reshape(heads, R, -1)
-        return meta, sel, ke, qe, ve
+    """window_attention_native: in-kernel masks + caller-precomputed
+    pixel-granular positional logits must reproduce the WindowAttention
+    module math exactly."""
 
     @pytest.mark.parametrize("shift", [0, 2])
     def test_direct_equals_transposed(self, shift):
@@ -175,15 +180,15 @@ class TestWindowNative:
         qkv = jnp.asarray(rng.randn(B, H, W, N, 3 * dim).astype(np.float32))
         table = jnp.asarray(
             (rng.randn((2 * ws - 1) ** 2, 3 * dim) * 0.1).astype(np.float32))
-        meta, sel, ke, qe, ve = self._tables(table, ws, heads, hd, WB, N,
-                                             scale)
         for dt in (jnp.float32, jnp.bfloat16):
-            a = [x.astype(dt) for x in (qkv, ke, qe, ve)]
+            qkv_t = qkv.astype(dt)
+            qr, kr, ve = _window_inputs(table, ws, heads, hd, WB, N, scale,
+                                        qkv_t)
             direct = fa.window_attention_native(
-                a[0], a[1], a[2], a[3], shift, scale, ws, ws, WB, heads,
+                qkv_t, qr, kr, ve, shift, scale, ws, ws, WB, heads,
                 True, interpret=True, direct=True)
             transp = fa.window_attention_native(
-                a[0], a[1], a[2], a[3], shift, scale, ws, ws, WB, heads,
+                qkv_t, qr, kr, ve, shift, scale, ws, ws, WB, heads,
                 True, interpret=True, direct=False)
             assert jnp.array_equal(direct, transp), dt
 
@@ -208,12 +213,12 @@ class TestWindowNative:
         want = WindowAttention(dim, (ws, ws), shift, heads).apply(
             params, qkv, mask)
 
-        meta, sel, ke, qe, ve = self._tables(table, ws, heads, hd, WB, N,
-                                             scale)
         rolled = jnp.roll(qkv, (-shift, -shift), axis=(1, 2))
+        qr, kr, ve = _window_inputs(table, ws, heads, hd, WB, N, scale,
+                                    rolled)
         for impl in (fa.window_attention_native_reference,
                      fa.window_attention_native):
-            got = impl(rolled, ke, qe, ve, shift, scale,
+            got = impl(rolled, qr, kr, ve, shift, scale,
                        ws, ws, WB, heads, True)
             got = jnp.roll(got, (shift, shift), axis=(1, 2))
             np.testing.assert_allclose(np.asarray(got), np.asarray(want),
@@ -228,91 +233,93 @@ class TestWindowNative:
         qkv = jnp.asarray(rng.randn(B, H, W, N, 3 * dim).astype(np.float32))
         table = jnp.asarray(
             (rng.randn((2 * ws - 1) ** 2, 3 * dim) * 0.1).astype(np.float32))
-        from nmrf_tpu.models.nmp import _relative_position_index  # noqa: F401
-        meta, sel, ke, qe, ve = self._tables(table, ws, heads, hd, WB, N,
-                                             scale)
+        qr, kr, ve = _window_inputs(table, ws, heads, hd, WB, N, scale, qkv)
         # eps=1e-2: the central-difference noise floor is |f|*2^-24/(2*eps)
         # with |f| ~ 2e2 here, i.e. ~6e-3 at eps=1e-3 — above atol.  1e-2 is
         # near the f32 optimum (f32_eps^(1/3)) and drops the noise to ~6e-4.
         check_grads(
-            lambda qkv, ke, qe, ve: jnp.sum(fa.window_attention_native_op(
-                qkv, ke, qe, ve, 2, 0, scale, ws, ws, WB, heads,
+            lambda qkv, qr, kr, ve: jnp.sum(fa.window_attention_native_op(
+                qkv, qr, kr, ve, 2, 0, scale, ws, ws, WB, heads,
                 False) ** 2),
-            (qkv, ke, qe, ve), eps=1e-2, atol=5e-3, rtol=5e-3)
+            (qkv, qr, kr, ve), eps=1e-2, atol=5e-3, rtol=5e-3)
 
 
 class TestWindowNativeBackwardKernel:
     """Fused Pallas backward (r4) vs the dense reference VJP.
 
-    The cotangents of (qkv, ke, qe, ve) from ``window_attention_native_bwd``
-    (dx kernel + f32-accumulating table kernel, interpret mode) must match
-    ``jax.vjp`` through ``window_attention_native_reference`` — the exact
-    backward the op shipped before."""
+    The cotangents of (qkv, qr, kr, ve) from ``window_attention_native_bwd``
+    (single fused kernel, interpret mode) must match ``jax.vjp`` through
+    ``window_attention_native_reference`` — the exact backward the op
+    shipped before."""
 
     def _data(self, dtype=np.float32, B=2):
         H, W, N, dim, heads, ws, WB = 8, 24, 2, 16, 2, 4, 3
         hd = dim // heads
         P = ws * ws
         R = ws * WB * ws * N
+        nwh, nwwB = H // ws, W // (WB * ws)
         rng = np.random.RandomState(0)
         qkv = jnp.asarray(rng.randn(B, H, W, N, 3 * dim).astype(dtype))
-        tbls = tuple(jnp.asarray(
+        qr = jnp.asarray(
+            (rng.randn(B, nwh, nwwB, heads, R, P) * 0.1).astype(dtype))
+        kr = jnp.asarray(
+            (rng.randn(B, nwh, nwwB, heads, R, P) * 0.1).astype(dtype))
+        ve = jnp.asarray(
             (rng.randn(heads, R, P * hd) * 0.1).astype(dtype))
-            for _ in range(3))
         g = jnp.asarray(rng.randn(B, H, W, N, dim).astype(dtype))
         scale = hd ** -0.5
-        return qkv, tbls, g, scale, ws, WB, heads
+        return qkv, (qr, kr, ve), g, scale, ws, WB, heads
 
     @pytest.mark.parametrize("shift,cm", [(0, True), (2, True), (2, False)])
     def test_matches_reference_vjp(self, shift, cm):
-        qkv, (ke, qe, ve), g, scale, ws, WB, heads = self._data()
+        qkv, (qr, kr, ve), g, scale, ws, WB, heads = self._data()
         _, vjp = jax.vjp(
-            lambda qkv, ke, qe, ve: fa.window_attention_native_reference(
-                qkv, ke, qe, ve, shift, scale, ws, ws, WB, heads, cm),
-            qkv, ke, qe, ve)
+            lambda qkv, qr, kr, ve: fa.window_attention_native_reference(
+                qkv, qr, kr, ve, shift, scale, ws, ws, WB, heads, cm),
+            qkv, qr, kr, ve)
         want = vjp(g)
         got = fa.window_attention_native_bwd(
-            g, qkv, ke, qe, ve, shift, 0, scale, ws, ws, WB, heads, cm,
+            g, qkv, qr, kr, ve, shift, 0, scale, ws, ws, WB, heads, cm,
             -1e9, None)
-        for name, a, b in zip(("dqkv", "dke", "dqe", "dve"), got, want):
+        for name, a, b in zip(("dqkv", "dqr", "dkr", "dve"), got, want):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=2e-5, atol=2e-5, err_msg=name)
 
     def test_sharded_row0(self):
         """Global-coordinate shifted-region mask in the backward: a tile at
         row offset row0 of a taller global image."""
-        qkv, (ke, qe, ve), g, scale, ws, WB, heads = self._data()
+        qkv, (qr, kr, ve), g, scale, ws, WB, heads = self._data()
         _, vjp = jax.vjp(
-            lambda qkv, ke, qe, ve: fa.window_attention_native_reference(
-                qkv, ke, qe, ve, 2, scale, ws, ws, WB, heads, True,
+            lambda qkv, qr, kr, ve: fa.window_attention_native_reference(
+                qkv, qr, kr, ve, 2, scale, ws, ws, WB, heads, True,
                 row0=8, hp_total=16),
-            qkv, ke, qe, ve)
+            qkv, qr, kr, ve)
         want = vjp(g)
         got = fa.window_attention_native_bwd(
-            g, qkv, ke, qe, ve, 2, 8, scale, ws, ws, WB, heads, True,
+            g, qkv, qr, kr, ve, 2, 8, scale, ws, ws, WB, heads, True,
             -1e9, 16)
-        for name, a, b in zip(("dqkv", "dke", "dqe", "dve"), got, want):
+        for name, a, b in zip(("dqkv", "dqr", "dkr", "dve"), got, want):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=2e-5, atol=2e-5, err_msg=name)
 
     def test_bf16(self):
-        """bf16 primals: table grads accumulate in f32 inside the kernel —
-        compare against the f32 reference VJP of the same (bf16-rounded)
-        inputs at bf16-appropriate tolerance."""
-        qkv, (ke, qe, ve), g, scale, ws, WB, heads = self._data(
+        """bf16 primals: the value-table grad accumulates in f32 inside the
+        kernel — compare against the f32 reference VJP of the same
+        (bf16-rounded) inputs at bf16-appropriate tolerance."""
+        qkv, (qr, kr, ve), g, scale, ws, WB, heads = self._data(
             dtype=np.float32)
         bf = jnp.bfloat16
-        qkvb, keb, qeb, veb, gb = (t.astype(bf) for t in (qkv, ke, qe, ve, g))
+        qkvb, qrb, krb, veb, gb = (t.astype(bf) for t in (qkv, qr, kr, ve, g))
         _, vjp = jax.vjp(
-            lambda qkv, ke, qe, ve: fa.window_attention_native_reference(
-                qkv, ke, qe, ve, 2, scale, ws, ws, WB, heads, True),
-            qkvb.astype(jnp.float32), keb.astype(jnp.float32),
-            qeb.astype(jnp.float32), veb.astype(jnp.float32))
+            lambda qkv, qr, kr, ve: fa.window_attention_native_reference(
+                qkv, qr, kr, ve, 2, scale, ws, ws, WB, heads, True),
+            qkvb.astype(jnp.float32), qrb.astype(jnp.float32),
+            krb.astype(jnp.float32), veb.astype(jnp.float32))
         want = vjp(gb.astype(jnp.float32))
         got = fa.window_attention_native_bwd(
-            gb, qkvb, keb, qeb, veb, 2, 0, scale, ws, ws, WB, heads, True,
+            gb, qkvb, qrb, krb, veb, 2, 0, scale, ws, ws, WB, heads, True,
             -1e9, None)
-        for name, a, b in zip(("dqkv", "dke", "dqe", "dve"), got, want):
+        for name, a, b in zip(("dqkv", "dqr", "dkr", "dve"), got, want):
             b = np.asarray(b)
             tol = 0.05 * float(np.abs(b).max())
             np.testing.assert_allclose(

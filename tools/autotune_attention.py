@@ -65,14 +65,15 @@ def main():
                 continue
             meta, _ = window_meta(ws, ws, WB, N)
             R = len(meta[:, 0])
-            ke = jnp.asarray(rng.randn(h, R, P * hd), dtype) * 0.1
-            qe = jnp.asarray(rng.randn(h, R, P * hd), dtype) * 0.1
+            nwh, nwwB = Hg // ws, Wg // (WB * ws)
+            qr = jnp.asarray(rng.randn(1, nwh, nwwB, h, R, P), dtype) * 0.1
+            kr = jnp.asarray(rng.randn(1, nwh, nwwB, h, R, P), dtype) * 0.1
             ve = jnp.asarray(rng.randn(h, R, P * hd), dtype) * 0.1
             try:
                 ms = chained_ms(
-                    lambda x, ke=ke, qe=qe, ve=ve, WB=WB: (
+                    lambda x, qr=qr, kr=kr, ve=ve, WB=WB: (
                         window_attention_native(
-                            x, ke, qe, ve, 0, scale, ws, ws, WB, h, cand)),
+                            x, qr, kr, ve, 0, scale, ws, ws, WB, h, cand)),
                     qkv, iters=args.iters)
             except Exception as e:
                 print(f"{name} WB={WB:3d} (R={WB*T:5d}): FAIL "

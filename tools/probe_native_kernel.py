@@ -18,7 +18,8 @@ import jax.numpy as jnp
 
 from nmrf_tpu.ops.pallas.attention import (
     choose_column_block, window_attention_native,
-    window_attention_native_reference, window_meta)
+    window_attention_native_reference, window_meta,
+    window_positional_terms)
 
 print("backend:", jax.default_backend(), flush=True)
 rng = np.random.default_rng(0)
@@ -41,29 +42,31 @@ for tag, (wh, ww, N, heads, hd, Hp, Wp, cand) in CASES.items():
     meta, sel = window_meta(wh, ww, WB, N)
     pixs = meta[:, 0]
     R = len(pixs)
-    ke_flat = tabs[0][:, pixs].reshape(heads, R, -1)
-    qe_flat = (tabs[1] * scale).transpose(0, 2, 1, 3)[:, pixs].reshape(
-        heads, R, -1)
     # ve is CHANNEL-major (c, s)
     ve_flat = tabs[2][:, pixs].transpose(0, 1, 3, 2).reshape(heads, R, -1)
     shift = wh // 2
+    # tables [h, P, P, hd] -> [P, P, h, hd] for window_positional_terms
+    k_emb = tabs[0].transpose(1, 2, 0, 3)
+    q_emb = tabs[1].transpose(1, 2, 0, 3)
+    qr_blk, kr_blk = window_positional_terms(
+        qkv, k_emb, q_emb, scale, wh, ww, WB, heads)
 
-    fn = jax.jit(lambda q, ke, qe, ve: window_attention_native(
-        q, ke, qe, ve, shift, scale, wh, ww, WB, heads, cand,
+    fn = jax.jit(lambda q, qr, kr, ve: window_attention_native(
+        q, qr, kr, ve, shift, scale, wh, ww, WB, heads, cand,
         interpret=False))
-    ref = jax.jit(lambda q, ke, qe, ve: window_attention_native_reference(
-        q, ke, qe, ve, shift, scale, wh, ww, WB, heads, cand))
+    ref = jax.jit(lambda q, qr, kr, ve: window_attention_native_reference(
+        q, qr, kr, ve, shift, scale, wh, ww, WB, heads, cand))
     try:
-        got = np.asarray(fn(qkv, ke_flat, qe_flat, ve_flat))
+        got = np.asarray(fn(qkv, qr_blk, kr_blk, ve_flat))
     except Exception as e:  # noqa: BLE001
         print(f"FAIL {tag}: {type(e).__name__}: {str(e)[:800]}")
         continue
     with jax.default_matmul_precision("highest"):
         want = np.asarray(jax.jit(
-            lambda q, ke, qe, ve: window_attention_native_reference(
-                q, ke, qe, ve, shift, scale, wh, ww, WB, heads,
-                cand))(qkv, ke_flat, qe_flat, ve_flat))
-    lossy = np.asarray(ref(qkv, ke_flat, qe_flat, ve_flat))
+            lambda q, qr, kr, ve: window_attention_native_reference(
+                q, qr, kr, ve, shift, scale, wh, ww, WB, heads,
+                cand))(qkv, qr_blk, kr_blk, ve_flat))
+    lossy = np.asarray(ref(qkv, qr_blk, kr_blk, ve_flat))
     err = float(np.max(np.abs(got - want)))
     err_l = float(np.max(np.abs(lossy - want)))
     print(f"{'OK ' if err < 1e-3 else 'FAIL'} {tag}: WB={WB} "

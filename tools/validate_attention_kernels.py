@@ -51,7 +51,8 @@ ok &= chk("masked_attention (Gm=1)", out_p, out_r)
 from nmrf_tpu.models.nmp import WindowAttention, shift_window_attn_mask, \
     window_attn_mask
 from nmrf_tpu.ops.pallas.attention import (
-    window_attention_native, window_attention_native_reference, window_meta)
+    window_attention_native, window_attention_native_reference, window_meta,
+    window_positional_terms)
 
 for tag, (wh, ww, N, heads, hd, Hp, Wp, WB, cand) in {
     "inference-like": (6, 6, 2, 2, 8, 12, 24, 2, True),
@@ -67,7 +68,7 @@ for tag, (wh, ww, N, heads, hd, Hp, Wp, WB, cand) in {
     mod = WindowAttention(C, (wh, ww), wh // 2, heads)
     params = {"params": {"relative_position_enc_table": table}}
 
-    # token-expanded positional tables (same construction the module will use)
+    # positional terms (same construction the module will use)
     from nmrf_tpu.models.nmp import _relative_position_index
     P = wh * ww
     rel = _relative_position_index(wh, ww)
@@ -76,9 +77,6 @@ for tag, (wh, ww, N, heads, hd, Hp, Wp, WB, cand) in {
     meta, sel = window_meta(wh, ww, WB, N)
     pixs = meta[:, 0]
     R = len(pixs)
-    ke_flat = k_embed.transpose(2, 0, 1, 3)[:, pixs].reshape(heads, R, -1)
-    qe_flat = (q_embed * scale).transpose(2, 1, 0, 3)[:, pixs].reshape(
-        heads, R, -1)
     ve_flat = v_embed.transpose(2, 0, 3, 1)[:, pixs].reshape(heads, R, -1)  # c-major
 
     for shift in (0, wh // 2):
@@ -92,15 +90,17 @@ for tag, (wh, ww, N, heads, hd, Hp, Wp, WB, cand) in {
         want = mod.apply(params, qkv, attn_mask, True, shift=shift)
 
         rolled = jnp.roll(qkv, (-shift, -shift), axis=(1, 2))
+        qr_blk, kr_blk = window_positional_terms(
+            rolled, k_embed, q_embed, scale, wh, ww, WB, heads)
         got_r = window_attention_native_reference(
-            rolled, ke_flat, qe_flat, ve_flat, shift, scale,
+            rolled, qr_blk, kr_blk, ve_flat, shift, scale,
             wh, ww, WB, heads, cand)
         got_r = jnp.roll(got_r, (shift, shift), axis=(1, 2))
         ok &= chk(f"native reference vs module ({tag}, shift={shift})",
                   got_r, want, tol=5e-4)
 
         got_k = window_attention_native(
-            rolled, ke_flat, qe_flat, ve_flat, shift, scale,
+            rolled, qr_blk, kr_blk, ve_flat, shift, scale,
             wh, ww, WB, heads, cand, interpret=True)
         got_k = jnp.roll(got_k, (shift, shift), axis=(1, 2))
         ok &= chk(f"native pallas vs module ({tag}, shift={shift})",
