@@ -68,10 +68,11 @@ def main():
     # override with `TPU.COMPUTE_DTYPE float32` for the f32 number.
     cfg.TPU.COMPUTE_DTYPE = "bfloat16"
     # tanh-GELU inside bf16 compute only: <~1e-3 relative vs erf — far
-    # inside bf16 rounding — and worth ~2 ms/frame on swin (the erf
-    # lowering is transcendental-heavy on the VPU; repeat-6 artifact means
-    # 65.79 -> 63.45 combined with the positional-logits rework,
-    # 2026-08-20).  `TPU.GELU_APPROX False` restores exact erf.
+    # inside bf16 rounding (the erf lowering is transcendental-heavy on the
+    # VPU).  Part of the combined 65.79 -> 63.45 swin win together with the
+    # positional-logits rework (34c603c, repeat-6 artifact means,
+    # 2026-08-20); its isolated contribution was not re-measured.
+    # `TPU.GELU_APPROX False` restores exact erf.
     cfg.TPU.GELU_APPROX = True
     cfg.merge_from_list(argv)
     cfg.freeze()

@@ -47,6 +47,50 @@ def _flag(argv, name, default, cast):
     return default
 
 
+def newest_bench_ms(prefix):
+    """Value of the newest BENCH artifact ``{prefix}_r*.json`` (or None).
+
+    Guards FLOPS.json against drifting from the driver-captured BENCH
+    artifacts (VERDICT r4 weak #4): folded inference times must match the
+    newest artifact to +-1 ms, and default to it when not given.
+    """
+    import glob
+    import re
+
+    best = None
+    for p in glob.glob(os.path.join(ROOT, f"{prefix}_r*.json")):
+        m = re.match(rf"{prefix}_r(\d+)", os.path.basename(p))
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        if best is None or rnd > best[0]:
+            with open(p) as f:
+                d = json.load(f)
+            if "value" not in d:
+                # driver-captured artifact: the metric JSON line sits in the
+                # "tail" stdout capture
+                line = [l for l in d.get("tail", "").splitlines()
+                        if l.startswith("{")][-1]
+                d = json.loads(line)
+            best = (rnd, float(d["value"]), p)
+    return best
+
+
+def check_vs_artifact(name, ms, prefix):
+    art = newest_bench_ms(prefix)
+    if art is None:
+        return ms
+    rnd, art_ms, path = art
+    if ms <= 0:
+        print(f"{name}: using {art_ms} ms from {os.path.basename(path)}")
+        return art_ms
+    assert abs(ms - art_ms) <= 1.0, (
+        f"--{name}-ms {ms} drifts >1 ms from the newest BENCH artifact "
+        f"{os.path.basename(path)} ({art_ms} ms); re-measure or update the "
+        f"artifact first")
+    return ms
+
+
 def _flops(compiled):
     ca = compiled.cost_analysis()
     if isinstance(ca, (list, tuple)):
@@ -131,6 +175,9 @@ def main():
     infer_ms = _flag(argv, "--infer-ms", 0.0, float)
     swin_ms = _flag(argv, "--swin-ms", 0.0, float)
     train_batch = _flag(argv, "--train-batch", 8, int)
+    # keep the folded inference times pinned to the BENCH artifacts
+    infer_ms = check_vs_artifact("infer", infer_ms, "BENCH")
+    swin_ms = check_vs_artifact("swin", swin_ms, "BENCH_SWIN")
 
     out = {"peak_flops_bf16": V5E_PEAK_BF16, "chip": "v5e"}
 
