@@ -88,12 +88,15 @@ def pad_and_colup(value_map, f, r):
 
 def _msda_tap_kernel(dx_ref, dy_ref, aw_ref, v_hbm, sel_ref, out_ref,
                      vtile_ref, slab_ref, *, f, r, TQ, TW, CW, MP, MD):
-    """Grid: (rows, cols) = (HG // TQ, Wq // TW) — batch unrolled by the
-    caller.  Blocks:
+    """Grid: (chunks, rows, cols) = (B * Hq // HG, HG // TQ, Wq // TW) —
+    the leading grid dim walks batch x row-chunks (r5: the caller stacks
+    the overlapping per-chunk v row slices so the whole level is ONE
+    pipelined pallas_call).  Blocks:
     dx/dy/aw: [1, TQ, TW, MP] f32 (level-pixel displacements, attn weights)
-    v_hbm: [1, rows, (Wl + 2(r+1)) * f, MD] — row-chunk of the padded level
-       map (columns pre-upsampled) as a VMEM block (constant index map ->
-       single-buffered)
+    v_hbm: [1, vrows, (Wl + 2(r+1)) * f, MD] — this chunk's row slice of
+       the padded level map (columns pre-upsampled); its block index
+       follows the chunk dim, so Mosaic double-buffers the fetch across
+       chunks
     out: [1, TQ, TW, MD]
     vtile_ref: VMEM scratch [TQ//f + 2r + 1, CW, MD] — the (row, col)
        window this tile's taps reach, staged once
@@ -110,8 +113,9 @@ def _msda_tap_kernel(dx_ref, dy_ref, aw_ref, v_hbm, sel_ref, out_ref,
     dy = dy_ref[0].reshape(R, MP)
     aw = aw_ref[0].reshape(R, MP)
     sel = sel_ref[...]
-    l0 = pl.program_id(0) * (TQ // f)  # level-row offset of this tile
-    w0 = pl.program_id(1) * TW         # upsampled-column offset
+    # grid = (chunk, rows, cols); the chunk dim only routes block fetches
+    l0 = pl.program_id(1) * (TQ // f)  # level-row offset of this tile
+    w0 = pl.program_id(2) * TW         # upsampled-column offset
     n_rows = TQ // f + 1
     RR = TQ // f + 2 * r + 1           # rows reached across all taps
     sp = phase(f)
@@ -192,6 +196,31 @@ def _msda_taps_core(value_map, dx, dy, aw, sel, *, num_heads, radius,
                     interpret):
     B, Hl, Wl, MD = value_map.shape
     _, Hq, Wq, MP = dx.shape
+    # --- lane packing (r5): the adaptor's value dim is M*D = 64
+    # (deform_ratio 0.5), so every [*, MD] tile in the kernel pads to 128
+    # lanes at 50% utilization.  Pairs of batch elements pack along the
+    # channel axis — algebraically identical to one image with 2M heads
+    # (the kernel is head-agnostic; the spread matrix becomes
+    # block_diag(sel, sel), whose zero blocks contribute exact +0.0 terms
+    # to the f32 accumulate) — doubling effective lane throughput of the
+    # slab staging, tap slices, spread dots and accumulates.  Bit-identical
+    # output; VMEM footprint unchanged (the padding lanes now carry data).
+    if B % 2 == 0 and 2 * MD <= 128 and B > 1:
+        half = B // 2
+
+        def pack(x):
+            _, Hx, Wx, C = x.shape
+            x = x.reshape(half, 2, Hx, Wx, C)
+            return x.transpose(0, 2, 3, 1, 4).reshape(half, Hx, Wx, 2 * C)
+
+        sel2 = jnp.concatenate([
+            jnp.concatenate([sel, jnp.zeros_like(sel)], axis=1),
+            jnp.concatenate([jnp.zeros_like(sel), sel], axis=1)], axis=0)
+        out = _msda_taps_core(
+            pack(value_map), pack(dx), pack(dy), pack(aw), sel2,
+            num_heads=2 * num_heads, radius=radius, interpret=interpret)
+        out = out.reshape(half, Hq, Wq, 2, MD).transpose(0, 3, 1, 2, 4)
+        return out.reshape(B, Hq, Wq, MD)
     f = Hq // Hl
     assert Hq == Hl * f and Wq == Wl * f, (Hq, Wq, Hl, Wl)
     assert f & (f - 1) == 0, f  # power of two (divisibility padding)
@@ -202,20 +231,21 @@ def _msda_taps_core(value_map, dx, dy, aw, sel, *, num_heads, radius,
     W2f = v.shape[2]
 
     # --- VMEM sizing (empirically calibrated against Mosaic's scoped-vmem
-    # accounting, limit 16 MB).  Two hazards observed on-chip:
-    #   * a VMEM block whose index varies with a grid dim is double-buffered
-    #     — so the batch is unrolled OUTSIDE pallas_call (v stays single);
-    #   * inside a larger jit, XLA may place the pallas OUTPUT itself in
-    #     VMEM (layout S(1)), so the output must stay small too — query
-    #     rows are chunked at this wrapper level, shrinking both the v row
-    #     slice and the per-call output.
+    # accounting, limit 16 MB).  Query rows are chunked so one chunk's v
+    # row slice fits VMEM; the chunk axis (batch x row-chunks) is a GRID
+    # dimension (r5): the per-chunk v slices are stacked into one operand
+    # whose block index follows the chunk dim, so Mosaic double-buffers the
+    # v fetch and pipelines across chunks — the r4 trace showed the former
+    # python batch x chunk loop splitting each level into 8+ tiny
+    # pallas_calls with no cross-call overlap (~3.5 ms/level).  The v term
+    # is counted twice (double-buffered); the call's full output is far too
+    # large for XLA's VMEM-output placement hazard, so no output term.
     # Minor dims < 128 are lane-padded by the tiling (MP/MD -> 128).
     def lane(n):
         return -(-max(n, 128) // 128) * 128
 
     def chunk_bytes(hg):
-        return ((hg // f + 2 * r + 2) * W2f * lane(MD) * esize  # v slice
-                + hg * Wq * lane(MD) * esize)                   # output
+        return 2 * (hg // f + 2 * r + 2) * W2f * lane(MD) * esize
     # Row tile: ~4 query rows, forced up to f (base-cell alignment needs
     # f | tile start).
     TQ = min(f * max(1, -(-4 // f)), Hq)
@@ -242,33 +272,34 @@ def _msda_taps_core(value_map, dx, dy, aw, sel, *, num_heads, radius,
     kern = functools.partial(_msda_tap_kernel, f=f, r=r, TQ=TQ, TW=TW,
                              CW=CW, MP=MP, MD=MD)
     vrows = HG // f + 2 * r + 2
+    n = Hq // HG
+    # stack the (overlapping) per-chunk v row slices along the chunk axis —
+    # one static gather, ~(1 + halo-overlap) x the v bytes of HBM traffic,
+    # paid once so the whole level runs as ONE pipelined pallas_call
+    if n == 1:
+        v_chunks = v                       # Hl + 2(r+1) == vrows exactly
+    else:
+        idx = (np.arange(n, dtype=np.int32)[:, None] * (HG // f)
+               + np.arange(vrows, dtype=np.int32)[None, :])
+        v_chunks = v[:, idx].reshape(B * n, vrows, W2f, MD)
     call = pl.pallas_call(
         kern,
-        grid=(HG // TQ, Wq // TW),
+        grid=(B * n, HG // TQ, Wq // TW),
         in_specs=[
-            pl.BlockSpec((1, TQ, TW, MP), lambda i, j: (0, i, j, 0)),
-            pl.BlockSpec((1, TQ, TW, MP), lambda i, j: (0, i, j, 0)),
-            pl.BlockSpec((1, TQ, TW, MP), lambda i, j: (0, i, j, 0)),
-            pl.BlockSpec((1, vrows, W2f, MD), lambda i, j: (0, 0, 0, 0)),
-            pl.BlockSpec(tuple(sel.shape), lambda i, j: (0, 0)),
+            pl.BlockSpec((1, TQ, TW, MP), lambda c, i, j: (c, i, j, 0)),
+            pl.BlockSpec((1, TQ, TW, MP), lambda c, i, j: (c, i, j, 0)),
+            pl.BlockSpec((1, TQ, TW, MP), lambda c, i, j: (c, i, j, 0)),
+            pl.BlockSpec((1, vrows, W2f, MD), lambda c, i, j: (c, 0, 0, 0)),
+            pl.BlockSpec(tuple(sel.shape), lambda c, i, j: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, TQ, TW, MD), lambda i, j: (0, i, j, 0)),
-        out_shape=jax.ShapeDtypeStruct((1, HG, Wq, MD), value_map.dtype),
+        out_specs=pl.BlockSpec((1, TQ, TW, MD), lambda c, i, j: (c, i, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((B * n, HG, Wq, MD), value_map.dtype),
         scratch_shapes=[
             pltpu.VMEM((TQ // f + 2 * r + 1, CW, MD), value_map.dtype),
             pltpu.VMEM((TQ, CW, MD), jnp.float32),
         ],
         interpret=interpret,
     )
-    outs = []
-    for b in range(B):
-        rows = []
-        for g0 in range(0, Hq, HG):
-            vb = jax.lax.slice_in_dim(v[b:b + 1], g0 // f, g0 // f + vrows,
-                                      axis=1)
-            rows.append(call(dx[b:b + 1, g0:g0 + HG],
-                             dy[b:b + 1, g0:g0 + HG],
-                             aw[b:b + 1, g0:g0 + HG], vb, sel))
-        outs.append(rows[0] if len(rows) == 1
-                    else jnp.concatenate(rows, axis=1))
-    return outs[0] if B == 1 else jnp.concatenate(outs, axis=0)
+    out = call(dx.reshape(B * n, HG, Wq, MP), dy.reshape(B * n, HG, Wq, MP),
+               aw.reshape(B * n, HG, Wq, MP), v_chunks, sel)
+    return out.reshape(B, Hq, Wq, MD)
