@@ -43,6 +43,15 @@ def main():
         peak_tflops = float(argv[i + 1])
         del argv[i:i + 2]
     cfg = get_cfg()
+    config_file = None
+    if "--config-file" in argv:
+        # bench an alternate variant's train step, e.g.
+        # configs/sceneflow_swint.yaml (the reference's flagship recipe,
+        # /root/reference/configs/sceneflow_swint.yaml + docs/swint.md)
+        i = argv.index("--config-file")
+        config_file = argv[i + 1]
+        del argv[i:i + 2]
+        cfg.merge_from_file(config_file)
     cfg.merge_from_list(argv)
     cfg.freeze()
 
@@ -67,13 +76,15 @@ def main():
     batch = shard_batch(batch_np, mesh)
     step = make_train_step(model, criterion, tx)
 
-    # XLA's own flop count of the compiled step (forward+backward+AdamW)
-    flops = None
+    # XLA's own flop + byte counts of the compiled step (fwd+bwd+AdamW);
+    # bytes = fusion-boundary traffic, the HBM-roofline proxy
+    flops = hbm_bytes = None
     try:
         ca = step.lower(params, opt_state, batch, 0).compile().cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
         flops = float(ca.get("flops", 0.0)) or None
+        hbm_bytes = float(ca.get("bytes accessed", 0.0)) or None
     except Exception as e:  # cost analysis is best-effort per backend
         print(f"cost_analysis unavailable: {e}", file=sys.stderr)
 
@@ -87,8 +98,12 @@ def main():
         params, opt_state, losses = step(params, opt_state, batch, i + 1)
     total = float(losses["total"])  # readback closes the pipeline
     dt = (time.perf_counter() - t0) / iters
+    variant = ""
+    if config_file:
+        import os
+        variant = "_" + os.path.splitext(os.path.basename(config_file))[0]
     rec = {
-        "metric": f"train_step_{H}x{W}_b{B}",
+        "metric": f"train_step_{H}x{W}_b{B}{variant}",
         "value": round(dt * 1000.0, 2),
         "unit": "ms/step",
         "frames_per_s": round(B / dt, 2),

@@ -521,10 +521,18 @@ def window_positional_terms(qkv, k_embed, q_embed, scale, wh, ww, WB,
         acc["precision"] = lax.Precision.HIGHEST
     keW = (k_embed * scale).reshape(wh, ww, P, h, hd)
     qeW = (q_embed * scale).transpose(1, 0, 2, 3).reshape(wh, ww, P, h, hd)
-    qr = jnp.einsum("belfwxnhc,lxshc->befhlwxns", q9, keW, **acc)
-    kr = jnp.einsum("belfwxnhc,lxphc->befhlwxnp", k9, qeW, **acc)
-    qr = qr.reshape(B, nwh, nwwB, h, R, P).astype(qkv.dtype)
-    kr = kr.reshape(B, nwh, nwwB, h, R, P).astype(qkv.dtype)
+    # Emit the dots in their NATURAL output order (batch dims l,x,h leading,
+    # then lhs-free b,e,f,w,n, then rhs-free s) so XLA inserts no hidden
+    # f32 output transpose, convert to the kernel dtype FIRST, and do the
+    # explicit permute to the kernel's block order in bf16 — half the
+    # permute traffic, and the convert fuses with the dot epilogue
+    # (r4 trace: the f32 permute + separate convert copies around the
+    # window kernels cost ~3 ms/frame on swin).
+    qr = jnp.einsum("belfwxnhc,lxshc->lxhbefwns", q9, keW, **acc)
+    kr = jnp.einsum("belfwxnhc,lxphc->lxhbefwnp", k9, qeW, **acc)
+    perm = (3, 4, 5, 2, 0, 6, 1, 7, 8)  # (l,x,h,b,e,f,w,n,s)->(b,e,f,h,l,w,x,n,s)
+    qr = qr.astype(qkv.dtype).transpose(perm).reshape(B, nwh, nwwB, h, R, P)
+    kr = kr.astype(qkv.dtype).transpose(perm).reshape(B, nwh, nwwB, h, R, P)
     return qr, kr
 
 
@@ -560,12 +568,19 @@ def _head_probs(q_s, k, qr, kr, selq, selst, cellmask, _P, cd):
 
     Shared by the forward kernels and the backward kernels' recompute —
     identical math keeps the rematerialized softmax bit-consistent with
-    the forward."""
-    logits = lax.dot_general(q_s, k, (((1,), (1,)), ((), ())), **_P)
-    logits = logits + lax.dot_general(
-        qr.astype(cd), selst, (((1,), (0,)), ((), ())), **_P)
-    logits = logits + lax.dot_general(
-        selq, kr.astype(cd), (((1,), (1,)), ((), ())), **_P)
+    the forward.
+
+    r5: the three logit terms are K-PACKED into ONE dot.  Each term's K is
+    tiny (hd=32 or P<=36) against the MXU's 128-deep spine, so the three
+    dots cost 3x the passes of one; concatenating along K computes
+    q_i.k_j + sum_s qr[i,s]*selq[j,s] + sum_p selq[i,p]*kr[j,p] in a
+    single [R, hd+2P] @ [R, hd+2P]^T pass set (note selst == selq^T, so
+    the spread-over-j factor of the qr term IS selq).  Few-ulp f32
+    accumulation-order drift vs the 3-dot form; within every parity tol."""
+    sq = selq.astype(cd)
+    lhs = jnp.concatenate([q_s, qr.astype(cd), sq], axis=1)
+    rhs = jnp.concatenate([k, sq, kr.astype(cd)], axis=1)
+    logits = lax.dot_general(lhs, rhs, (((1,), (1,)), ((), ())), **_P)
 
     logits = logits + cellmask
     mx = jnp.max(logits, axis=-1, keepdims=True)
@@ -585,12 +600,16 @@ def _attend_head(q, k, v, qr, kr, ve_c, selq, selst, sch_c,
     q = q.astype(cd) * scale
     k = k.astype(cd)
     attn = _head_probs(q, k, qr, kr, selq, selst, cellmask, _P, cd)
-    out = lax.dot_general(attn.astype(v.dtype), v,
-                          (((1,), (0,)), ((), ())), **_P)
+    # r5: attn@v and the per-key-pixel attention mass attn@selq are
+    # N-PACKED into one dot (independent output lanes -> bit-identical to
+    # the two separate dots; saves a full pass set over attn's R-deep K)
+    ab = attn.astype(v.dtype)
+    ov = lax.dot_general(ab, jnp.concatenate(
+        [v, selq.astype(v.dtype)], axis=1), (((1,), (0,)), ((), ())), **_P)
+    out = ov[:, :hd]
     # value-table term: attention mass per key pixel, channel-tiled, then
     # reduced per channel over the P lane groups
-    attn_s = lax.dot_general(attn, selq,
-                             (((1,), (0,)), ((), ())), **_P)  # [R, P]
+    attn_s = ov[:, hd:]                                       # [R, P]
     atile = pltpu.repeat(attn_s.astype(cd), hd, 1)            # [R, hd*P]
     out = out + lax.dot_general(
         ve_c.astype(cd) * atile, sch_c.astype(cd),

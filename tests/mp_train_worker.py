@@ -21,13 +21,16 @@ import numpy as np
 N_STEPS = 3
 DATASET_LEN = 6  # 3 steps x global batch 2
 GLOBAL_BATCH = 2
+# spatial topology: H=96 -> h8 local 6 (window 6) / h4 local 24 (window 4)
+# per spatial=2 tile — the minimal window-aligned tiling (test_spatial_model)
+CROP = {"2x1": (64, 128), "1x2": (96, 96)}
 
 
-def tiny_cfg():
+def tiny_cfg(mesh_spec="2x1"):
     from nmrf_tpu.config import get_cfg
 
     cfg = get_cfg()
-    cfg.DATASETS.CROP_SIZE = (64, 128)
+    cfg.DATASETS.CROP_SIZE = CROP[mesh_spec]
     cfg.SOLVER.IMS_PER_BATCH = GLOBAL_BATCH
     cfg.SOLVER.MAX_ITER = N_STEPS
     cfg.DPN.MAX_DISP = 64
@@ -36,26 +39,33 @@ def tiny_cfg():
     return cfg
 
 
-def make_sample(idx):
+def make_sample(idx, crop=(64, 128)):
     """Deterministic synthetic sample keyed by DATASET index (rank-free)."""
     from nmrf_tpu.data.synthetic import make_stereo_pair
 
     rng = np.random.RandomState(4242 + int(idx))
-    i1, i2, d, v = make_stereo_pair(64, 128, max_disp=48, rng=rng)
+    i1, i2, d, v = make_stereo_pair(crop[0], crop[1], max_disp=48, rng=rng)
     return {"img1": i1, "img2": i2, "disp": d.astype(np.float32), "valid": v}
 
 
-def stack_indices(indices):
-    samples = [make_sample(i) for i in indices]
+def stack_indices(indices, crop=(64, 128)):
+    samples = [make_sample(i, crop) for i in indices]
     return {k: np.stack([s[k] for s in samples]) for k in samples[0]}
 
 
-def run_training(rank: int, world_size: int, mesh):
+def run_training(rank: int, world_size: int, mesh, mesh_spec="2x1"):
     """Build model/optimizer and run N_STEPS sharded train steps.
 
     The caller provides the mesh (global 2-device in both the 1-process and
     2-process configurations) so the compiled SPMD program is identical; only
     the process topology differs.
+
+    mesh_spec "1x2" (VERDICT r4 item 5): the SPATIAL axis crosses the
+    process boundary — every ppermute window roll / halo exchange / stripe
+    all-gather in parallel/spatial.py runs between two real
+    ``jax.distributed`` processes.  The data world is 1, so each process
+    builds the full global batch and contributes its H-half
+    (``jax.make_array_from_process_local_data`` along `spatial`).
     """
     import jax
 
@@ -64,27 +74,44 @@ def run_training(rank: int, world_size: int, mesh):
     from nmrf_tpu.parallel import make_train_step, replicated, shard_batch
     from nmrf_tpu.solver import build_optimizer
 
-    cfg = tiny_cfg()
-    model, criterion = build_model(cfg)
+    spatial = mesh_spec == "1x2"
+    cfg = tiny_cfg(mesh_spec)
+    crop = CROP[mesh_spec]
+    model, criterion = build_model(
+        cfg, spatial_axis="spatial" if spatial else None)
+    # init must run outside shard_map: use the unsharded twin (identical
+    # param structure; test_spatial_model.py uses the same pattern)
+    init_model = build_model(cfg)[0] if spatial else model
     rng = jax.random.PRNGKey(cfg.SEED)
-    img0 = np.zeros((1, 64, 128, 3), np.float32)
+    img0 = np.zeros((1,) + crop + (3,), np.float32)
     rep = replicated(mesh)
     # init/opt-state under jit with replicated out_shardings: produces global
     # replicated arrays on BOTH process topologies (device_put of host arrays
     # to a multi-process sharding is not universally supported)
     params = jax.jit(
-        lambda r: model.init(r, img0, img0, train=False),
+        lambda r: init_model.init(r, img0, img0, train=False),
         out_shardings=rep)(rng)
     tx, _ = build_optimizer(params, cfg)
     opt_state = jax.jit(tx.init, out_shardings=rep)(params)
-    step_fn = make_train_step(model, criterion, tx, seed=cfg.SEED)
+    step_fn = make_train_step(model, criterion, tx, seed=cfg.SEED,
+                              mesh=mesh if spatial else None)
 
-    sampler = ShardedBatchSampler(DATASET_LEN, GLOBAL_BATCH, rank=rank,
-                                  world_size=world_size, seed=cfg.SEED)
+    # spatial topology: the DATA world is 1 — every process enumerates the
+    # full global batch and contributes its H-half below
+    data_world = 1 if spatial else world_size
+    sampler = ShardedBatchSampler(DATASET_LEN, GLOBAL_BATCH,
+                                  rank=0 if spatial else rank,
+                                  world_size=data_world, seed=cfg.SEED)
     indices = sampler.epoch_indices(0)
-    assert indices.shape == (N_STEPS, GLOBAL_BATCH // world_size)
+    assert indices.shape == (N_STEPS, GLOBAL_BATCH // data_world)
     for s in range(N_STEPS):
-        batch = shard_batch(stack_indices(indices[s]), mesh)
+        batch = stack_indices(indices[s], crop)
+        if spatial and world_size > 1:
+            # this process's H-half (its addressable shard along `spatial`)
+            h_half = crop[0] // world_size
+            batch = {k: v[:, rank * h_half:(rank + 1) * h_half]
+                     for k, v in batch.items()}
+        batch = shard_batch(batch, mesh)
         params, opt_state, losses = step_fn(params, opt_state, batch, s)
         # replicated scalar: np.asarray is allowed on fully-replicated arrays
         assert np.isfinite(float(np.asarray(losses["total"]))), (s, losses)
@@ -103,9 +130,11 @@ def params_to_flat(params):
 def main():
     """nproc>1: one rank of a jax.distributed run (1 local device each).
     nproc==1: the single-process ground truth on a local 2-device mesh.
-    Both paths build the SAME global data=2 mesh, so the compiled SPMD
-    program is identical and params must match bit-for-bit."""
+    Both paths build the SAME global 2-device mesh (data=2 or spatial=2 per
+    argv[5]), so the compiled SPMD program is identical and params must
+    match bit-for-bit."""
     coord, nproc, rank, out_path = sys.argv[1:5]
+    mesh_spec = sys.argv[5] if len(sys.argv) > 5 else "2x1"
     nproc, rank = int(nproc), int(rank)
     import os
 
@@ -128,8 +157,9 @@ def main():
 
     from nmrf_tpu.parallel import make_mesh
 
-    mesh = make_mesh(2, 1)
-    params = run_training(jax.process_index(), nproc, mesh)
+    data, spatial = (int(v) for v in mesh_spec.split("x"))
+    mesh = make_mesh(data, spatial)
+    params = run_training(jax.process_index(), nproc, mesh, mesh_spec)
     if jax.process_index() == 0:
         np.savez(out_path, **params_to_flat(params))
     if nproc > 1:

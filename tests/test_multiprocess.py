@@ -85,6 +85,56 @@ def test_two_process_training_matches_single(tmp_path):
 
 
 @pytest.mark.slow
+def test_two_process_spatial_training_matches_single(tmp_path):
+    """SPATIAL sequence parallelism across a real process boundary (VERDICT
+    r4 item 5): N train steps on a global (data=1, spatial=2) mesh split
+    over 2 ``jax.distributed`` processes — every ppermute window roll, halo
+    exchange and CSWin stripe all-gather in ``parallel/spatial.py`` crosses
+    the process boundary — vs a single-process run of the SAME mesh on 2
+    virtual devices.  Identical SPMD program in both topologies, so params
+    must match bit-for-bit (same contract as the DP test above); each
+    process feeds its H-half of the global batch through
+    ``jax.make_array_from_process_local_data`` along `spatial`."""
+    coord = f"127.0.0.1:{_free_port()}"
+    sp_path = str(tmp_path / "params_sp.npz")
+    mp_path = str(tmp_path / "params_mp.npz")
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    env["PYTHONPATH"] = ROOT + os.pathsep + env.get("PYTHONPATH", "")
+    worker = os.path.join(ROOT, "tests", "mp_train_worker.py")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, "none", "1", "0", sp_path, "1x2"],
+            env=env, cwd=ROOT,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE),
+    ] + [
+        subprocess.Popen(
+            [sys.executable, worker, coord, "2", str(rank), mp_path, "1x2"],
+            env=env, cwd=ROOT,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+        for rank in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=540)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append((p.returncode, out.decode(), err.decode()))
+    for rc, out, err in outs:
+        assert rc == 0, f"worker failed rc={rc}\n{out}\n{err[-3000:]}"
+
+    want = np.load(sp_path)
+    got = np.load(mp_path)
+    assert set(got.files) == set(want.files) and len(want.files) > 50
+    for k in want.files:
+        np.testing.assert_array_equal(got[k], want[k], err_msg=k)
+
+
+@pytest.mark.slow
 def test_two_process_eval_matches_single(tmp_path):
     from tests.mp_eval_worker import N_SAMPLES, run_eval
 

@@ -20,7 +20,7 @@ import numpy as np
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
-from tools.profile_model import summarize_trace  # noqa: E402
+from tools.profile_model import print_aggregation, summarize_trace  # noqa: E402
 from tools.train_convergence_gate import _flag, make_batch  # noqa: E402
 
 
@@ -44,6 +44,11 @@ def main():
     steps = _flag(argv, "--steps", 2, int)
 
     cfg = get_cfg()
+    if "--config-file" in argv:
+        # trace an alternate variant's step (e.g. the swint flagship recipe)
+        i = argv.index("--config-file")
+        cfg.merge_from_file(argv[i + 1])
+        del argv[i:i + 2]
     cfg.DATASETS.CROP_SIZE = (384, 768)
     cfg.SOLVER.IMS_PER_BATCH = 8
     cfg.TPU.COMPUTE_DTYPE = "bfloat16"
@@ -85,6 +90,7 @@ def main():
     for d, c, name, meta in rows:
         label = f"{name}   [{meta[:120]}]" if meta else name
         print(f"{d:9.2f}  {d / steps:9.2f} {c:6d}  {label}")
+    print_aggregation(out, divisor=steps, unit="ms/step")
 
 
 if __name__ == "__main__":
