@@ -111,9 +111,12 @@ def main():
         ca = chained.lower(params, img1, img2).compile().cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
+        # cost analysis counts the scan BODY once (trip count not
+        # multiplied), so these are already per-frame (validated: the
+        # chain's flop count matches the flat single-forward lowering)
         print(f"bench.py: deployed per-frame flops "
-              f"{ca['flops'] / K / 1e9:.2f} GFLOP, hbm bytes "
-              f"{ca['bytes accessed'] / K / 1e9:.3f} GB", file=sys.stderr,
+              f"{ca['flops'] / 1e9:.2f} GFLOP, hbm bytes "
+              f"{ca['bytes accessed'] / 1e9:.3f} GB", file=sys.stderr,
               flush=True)
     except Exception as e:  # best-effort per backend
         print(f"bench.py: cost_analysis unavailable: {e}", file=sys.stderr)

@@ -513,27 +513,29 @@ def window_positional_terms(qkv, k_embed, q_embed, scale, wh, ww, WB,
     WBww = WB * ww
     nwh, nwwB = Hp // wh, Wp // WBww
     R = wh * WBww * N
-    x9 = qkv.reshape(B, nwh, wh, nwwB, WB, ww, N, 3 * h, hd)
-    q9 = x9[..., :h, :]
-    k9 = x9[..., h:2 * h, :]
+    # r5 HLO finding: per-einsum lhs repacks used to TRANSPOSE THE WHOLE
+    # qkv tensor (113 MB at the production batch) at ~14 GB/s effective —
+    # twice per layer, re-run under remat, doubled in the VJP: the single
+    # largest copy cluster in the train step.  Mitigations:
+    #   * lane-slice q|k off FIRST (cheap, 128-aligned) so v's third is
+    #     never repacked;
+    #   * ONE merged einsum over a stacked (ke, qe) table — one lhs repack
+    #     for both qr and kr;
+    #   * natural (batch-leading) output order + bf16 convert BEFORE the
+    #     explicit permute to the kernel's block order.
+    qk9 = qkv[..., :2 * h * hd].reshape(
+        B, nwh, wh, nwwB, WB, ww, N, 2, h, hd)
     acc = dict(preferred_element_type=jnp.float32)
     if qkv.dtype == jnp.float32:
         acc["precision"] = lax.Precision.HIGHEST
     keW = (k_embed * scale).reshape(wh, ww, P, h, hd)
     qeW = (q_embed * scale).transpose(1, 0, 2, 3).reshape(wh, ww, P, h, hd)
-    # Emit the dots in their NATURAL output order (batch dims l,x,h leading,
-    # then lhs-free b,e,f,w,n, then rhs-free s) so XLA inserts no hidden
-    # f32 output transpose, convert to the kernel dtype FIRST, and do the
-    # explicit permute to the kernel's block order in bf16 — half the
-    # permute traffic, and the convert fuses with the dot epilogue
-    # (r4 trace: the f32 permute + separate convert copies around the
-    # window kernels cost ~3 ms/frame on swin).
-    qr = jnp.einsum("belfwxnhc,lxshc->lxhbefwns", q9, keW, **acc)
-    kr = jnp.einsum("belfwxnhc,lxphc->lxhbefwnp", k9, qeW, **acc)
-    perm = (3, 4, 5, 2, 0, 6, 1, 7, 8)  # (l,x,h,b,e,f,w,n,s)->(b,e,f,h,l,w,x,n,s)
-    qr = qr.astype(qkv.dtype).transpose(perm).reshape(B, nwh, nwwB, h, R, P)
-    kr = kr.astype(qkv.dtype).transpose(perm).reshape(B, nwh, nwwB, h, R, P)
-    return qr, kr
+    tbl = jnp.stack([keW, qeW], 0)              # [2, wh, ww, P, h, hd]
+    qrkr = jnp.einsum("belfwxnghc,glxshc->lxghbefwns", qk9, tbl, **acc)
+    # (l,x,g,h,b,e,f,w,n,s) -> (g,b,e,f,h,l,w,x,n,s), in the kernel dtype
+    qrkr = qrkr.astype(qkv.dtype).transpose(2, 4, 5, 6, 3, 0, 7, 1, 8, 9)
+    qrkr = qrkr.reshape(2, B, nwh, nwwB, h, R, P)
+    return qrkr[0], qrkr[1]
 
 
 def choose_column_block(nww, T, target=512):
@@ -1041,21 +1043,33 @@ def _bwd_head_core(q_s, k, v, qr, kr, ve_c, g, selq, selst,
         if emit_tbl is not None:
             emit_tbl(dve_c)
             dve_c = None
-    # d(attn) = g v^T + spread of the per-pixel value-table mass
-    dattn = lax.dot_general(g, v.astype(cd),
-                            (((1,), (1,)), ((), ())), **_P)
-    dattn = dattn + lax.dot_general(datt_s, selst,
-                                    (((1,), (0,)), ((), ())), **_P)
+    # d(attn) = g v^T + spread of the per-pixel value-table mass — ONE
+    # K-packed dot (r5, same argument as _head_probs: tiny per-term K vs
+    # the MXU's 128-deep spine; selst == selq^T so the spread factor along
+    # K is selq)
+    dattn = lax.dot_general(
+        jnp.concatenate([g, datt_s], axis=1),
+        jnp.concatenate([v.astype(cd), selq.astype(cd)], axis=1),
+        (((1,), (1,)), ((), ())), **_P)
     # softmax backward
     dlog = attn_c * (dattn - jnp.sum(dattn * attn_c, axis=-1, keepdims=True))
-    # positional-logit branches (fwd: logits += qr @ selst + selq @ kr^T)
-    dqr = lax.dot_general(dlog, selq, (((1,), (0,)), ((), ())), **_P)
-    dkr = lax.dot_general(dlog, selq, (((0,), (0,)), ((), ())), **_P)
+    # positional-logit branches (fwd: logits += qr @ selst + selq @ kr^T);
+    # N-packed with d(q)/d(k) when those are wanted — independent output
+    # lanes, bit-identical to the separate dots
     dq = dk = dv = None
     if want_dx:
-        dq = lax.dot_general(dlog, k, (((1,), (0,)), ((), ())), **_P) * scale
-        dk = lax.dot_general(dlog, q_s, (((0,), (0,)), ((), ())), **_P)
+        dqq = lax.dot_general(
+            dlog, jnp.concatenate([k, selq.astype(k.dtype)], axis=1),
+            (((1,), (0,)), ((), ())), **_P)
+        dq, dqr = dqq[:, :hd] * scale, dqq[:, hd:]
+        dkk = lax.dot_general(
+            dlog, jnp.concatenate([q_s, selq.astype(q_s.dtype)], axis=1),
+            (((0,), (0,)), ((), ())), **_P)
+        dk, dkr = dkk[:, :hd], dkk[:, hd:]
         dv = lax.dot_general(attn_c, g, (((0,), (0,)), ((), ())), **_P)
+    else:
+        dqr = lax.dot_general(dlog, selq, (((1,), (0,)), ((), ())), **_P)
+        dkr = lax.dot_general(dlog, selq, (((0,), (0,)), ((), ())), **_P)
     return dq, dk, dv, dqr, dkr, dve_c
 
 

@@ -65,7 +65,11 @@ def spread_matrix(M, P, D):
     [R, 4*MP] @ [4*MP, 4*MD] dot — K 32 -> 128 — measured SLOWER,
     4.1 vs 3.8 ms/level: the kernel is VMEM-traffic bound, not MXU-pass
     bound, and the wider weight concat + output slices cost more than the
-    saved passes.  Reverted; see git history.)"""
+    saved passes.  r5 probe: per-head P-reduce [R, MP] @ [MP, M] +
+    ``pltpu.repeat`` lane-tiling (with D-major v channels) — on paper 8x
+    fewer MXU MACs — measured 4.5x SLOWER (extractors 1.7 -> 7.7
+    ms/frame): the per-tap repeat inside the fori_loop lowers to slow
+    sublane shuffles.  Both reverted; the fused spread dot stands.)"""
     sel = np.zeros((M * P, M * D), np.float32)
     for m in range(M):
         sel[m * P:(m + 1) * P, m * D:(m + 1) * D] = 1.0

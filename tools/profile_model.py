@@ -71,13 +71,16 @@ def summarize_trace(trace_dir, top=40):
 
 
 _SCOPES = (  # model-path buckets, first match wins (order matters)
-    ("loss", ("Criterion", "loss_", "/losses")),
+    ("loss", ("Criterion", "criterion", "loss_prop", "loss_init",
+              "loss_disp", "soft_label")),
     ("optimizer", ("adamw", "scale_by", "add_decayed", "clip_by",
-                   "/transform", "opt_update", "multi_transform")),
-    ("backbone", ("extract_feature/backbone/backbone",)),
+                   "/transform", "opt_update", "multi_transform",
+                   "apply_updates", "global_norm")),
     ("neck_msda", ("neck/extractors",)),
     ("neck_other", ("neck",)),
-    ("costvol_dpn", ("NMRF.decode/dpn", "correlation", "cost_volume")),
+    ("backbone", ("extract_feature",)),
+    ("costvol_dpn", ("NMRF.decode/dpn", "correlation", "cost_volume",
+                     "build_correlation")),
     ("inference_nmp", ("decode/inference",)),
     ("refinement_nmp", ("decode/refinement",)),
     ("decode_other", ("NMRF.decode", "NMRF/")),
@@ -94,6 +97,7 @@ _CLASSES = (  # HLO-op class from the event name, first match wins
     ("reduce", ("reduce", "all-reduce")),
     ("loop_ctl", ("while", "tuple", "parameter", "constant", "compare",
                   "add_", "get-tuple")),
+    ("fusion", ("fusion",)),
 )
 
 
@@ -133,8 +137,10 @@ def aggregate_trace(trace_dir, divisor=1.0):
             continue
         name = e["name"]
         args = e.get("args", {}) or {}
-        if name.startswith("jit_") or args.get("hlo_category") in (
-                "while", "conditional", "call"):
+        # skip module-level events (bare numeric names duplicate the whole
+        # program span) and control-flow region events
+        if name.startswith("jit_") or name.isdigit() or args.get(
+                "hlo_category") in ("while", "conditional", "call"):
             continue
         d = float(e.get("dur", 0)) / 1000.0 / divisor
         meta = str(args.get("tf_op") or args.get("name") or "")
