@@ -217,8 +217,13 @@ class WindowAttention(nn.Module):
             else:
                 # (r4 probe: a lax.cond skipping the roll for shift=0
                 # layers measured NEUTRAL-to-worse — the conditional breaks
-                # fusion and forces operand materialization; the traced
-                # roll fuses.  Reverted, see git history.)
+                # fusion and forces operand materialization.  r5 probe:
+                # STATIC roll + jnp.where select — on paper fewer passes
+                # than _roll_dynamic's pad+DS+max — measured WORSE on the
+                # swin frame (51.9 -> 53.1 ms) and neutral on the train
+                # step (832 -> 827): every layer pays the roll+select
+                # passes while XLA fuses the dynamic form well.  Both
+                # reverted; the traced roll stands.)
                 qkv = jnp.roll(qkv, (-shift, -shift), axis=(1, 2))
 
         # window partition: [B*nW, h, T, 3hd] with token order (hs, ws, n)
