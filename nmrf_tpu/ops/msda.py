@@ -86,8 +86,30 @@ def _tap_level_inputs(locations_l, weights_l, spatial_shape, query_shape):
     return dx, dy, aw
 
 
+def _halo_index_maps(Hq, Wq, f, r):
+    """Row/col gather maps from the padded level map into the upsampled halo
+    map ``U`` (shared by forward reference and manual backward): U[j] =
+    vpad[iy[j]] along each axis, j in [0, Hq + 2*r*f)."""
+    jy = np.arange(Hq + 2 * r * f, dtype=np.int64) - r * f
+    iy = ((2 * jy + 1 + f) // (2 * f)).astype(np.int32) + r
+    jx = np.arange(Wq + 2 * r * f, dtype=np.int64) - r * f
+    ix = ((2 * jx + 1 + f) // (2 * f)).astype(np.int32) + r
+    return iy, ix
+
+
+def _halo_map(value_map, f, r):
+    """Build the upsampled halo map U [B, Hq+2rf, Wq+2rf, MD] plus the
+    numpy gather maps used to build it (needed to transpose the gather in
+    the manual backward)."""
+    B, Hl, Wl, MD = value_map.shape
+    vpad = jnp.pad(value_map,
+                   ((0, 0), (r + 1, r + 1), (r + 1, r + 1), (0, 0)))
+    iy, ix = _halo_index_maps(Hl * f, Wl * f, f, r)
+    return vpad[:, iy][:, :, ix], iy, ix
+
+
 def _tap_level_reference(value_map, dx, dy, aw, num_heads, radius):
-    """jnp tap formulation (differentiable; VJP source for the kernel).
+    """jnp tap formulation (differentiable; semantics golden for the kernel).
 
     value_map: [B, Hl, Wl, M*D]; dx/dy/aw: [B, Hq, Wq, M*P] f32.
     Bit-identical semantics to ``ops.pallas.msda.msda_taps_level``.
@@ -100,14 +122,7 @@ def _tap_level_reference(value_map, dx, dy, aw, num_heads, radius):
     f = Hq // Hl
     r = int(radius)
     taps = 2 * r + 1
-    vpad = jnp.pad(value_map,
-                   ((0, 0), (r + 1, r + 1), (r + 1, r + 1), (0, 0)))
-    # upsampled halo map: U[j] = vpad[base(j - r*f) + r + 1], j in [0, Hq+2rf)
-    jy = np.arange(Hq + 2 * r * f, dtype=np.int64) - r * f
-    iy = ((2 * jy + 1 + f) // (2 * f)).astype(np.int32) + r
-    jx = np.arange(Wq + 2 * r * f, dtype=np.int64) - r * f
-    ix = ((2 * jx + 1 + f) // (2 * f)).astype(np.int32) + r
-    U = vpad[:, iy][:, :, ix]                         # [B, Hq+2rf, Wq+2rf, MD]
+    U, _, _ = _halo_map(value_map, f, r)              # [B, Hq+2rf, Wq+2rf, MD]
 
     dx5 = dx.reshape(B, Hq, Wq, M, P)
     dy5 = dy.reshape(B, Hq, Wq, M, P)
@@ -146,12 +161,71 @@ def _tap_fwd(value_map, dx, dy, aw, num_heads, radius):
 
 
 def _tap_bwd(num_heads, radius, res, g):
+    """Manual rematerializing backward for the tap formulation.
+
+    ``jax.vjp`` through ``_tap_level_reference``'s tap scan saves per-tap
+    residuals — (2r+1)^2 stacked [B,Hq,Wq,M,P]/[B,Hq,Wq,MD] f32 buffers
+    (~49 GB for the swin adaptor's r=5 level at train batch 8), which OOMs
+    the swin train step.  Instead, scan over taps carrying only the gradient
+    accumulators and recompute the hat weights per tap; the halo-map gather
+    is transposed once at the end with two segment-sums.  Matches the
+    autodiff cotangents exactly away from the measure-zero hat kinks
+    (|d - t| ∈ {0, 1}), where subgradient choices differ.
+    """
     value_map, dx, dy, aw = res
-    _, vjp = jax.vjp(
-        lambda v, x, y, w: _tap_level_reference(v, x, y, w, num_heads,
-                                                radius),
-        value_map, dx, dy, aw)
-    return vjp(g)
+    B, Hl, Wl, MD = value_map.shape
+    _, Hq, Wq, MP = dx.shape
+    M = num_heads
+    P = MP // M
+    f = Hq // Hl
+    r = int(radius)
+    taps = 2 * r + 1
+
+    U, iy, ix = _halo_map(value_map, f, r)
+    U = U.astype(jnp.float32)
+    g5 = g.reshape(B, Hq, Wq, M, MD // M).astype(jnp.float32)
+    dx5 = dx.reshape(B, Hq, Wq, M, P)
+    dy5 = dy.reshape(B, Hq, Wq, M, P)
+    aw5 = aw.reshape(B, Hq, Wq, M, P)
+
+    def body(carry, t):
+        ddx, ddy, daw, dU = carry
+        ty = t // taps - r
+        tx = t % taps - r
+        zy = dy5 - ty.astype(jnp.float32)
+        zx = dx5 - tx.astype(jnp.float32)
+        hy = jnp.maximum(0.0, 1.0 - jnp.abs(zy))
+        hx = jnp.maximum(0.0, 1.0 - jnp.abs(zx))
+        off = (0, (ty + r) * f, (tx + r) * f, 0)
+        u5 = jax.lax.dynamic_slice(U, off, (B, Hq, Wq, MD)).reshape(g5.shape)
+        s = (g5 * u5).sum(-1)[..., None]              # [B,Hq,Wq,M,1]
+        daw = daw + hy * hx * s
+        gy = jnp.where(jnp.abs(zy) < 1.0, -jnp.sign(zy), 0.0)
+        gx = jnp.where(jnp.abs(zx) < 1.0, -jnp.sign(zx), 0.0)
+        ddy = ddy + aw5 * hx * gy * s
+        ddx = ddx + aw5 * hy * gx * s
+        w = (aw5 * hy * hx).sum(-1)                   # [B,Hq,Wq,M]
+        gu = (w[..., None] * g5).reshape(B, Hq, Wq, MD)
+        patch = jax.lax.dynamic_slice(dU, off, (B, Hq, Wq, MD))
+        dU = jax.lax.dynamic_update_slice(dU, patch + gu, off)
+        return (ddx, ddy, daw, dU), ()
+
+    z5 = jnp.zeros(dx5.shape, jnp.float32)
+    (ddx, ddy, daw, dU), _ = jax.lax.scan(
+        body, (z5, z5, z5, jnp.zeros(U.shape, jnp.float32)),
+        jnp.arange(taps * taps))
+
+    # Transpose the halo gather: dvpad[i] = sum_{j: iy[j]=i} dU[j] per axis.
+    Hp, Wp = Hl + 2 * (r + 1), Wl + 2 * (r + 1)
+    t0 = jax.ops.segment_sum(dU.transpose(1, 0, 2, 3), jnp.asarray(iy),
+                             num_segments=Hp)         # [Hp, B, Wu, MD]
+    t1 = jax.ops.segment_sum(t0.transpose(2, 1, 0, 3), jnp.asarray(ix),
+                             num_segments=Wp)         # [Wp, B, Hp, MD]
+    dvpad = t1.transpose(1, 2, 0, 3)                  # [B, Hp, Wp, MD]
+    dvalue = dvpad[:, r + 1:r + 1 + Hl,
+                   r + 1:r + 1 + Wl, :].astype(value_map.dtype)
+    return (dvalue, ddx.reshape(dx.shape), ddy.reshape(dy.shape),
+            daw.reshape(aw.shape))
 
 
 _tap_level_op.defvjp(_tap_fwd, _tap_bwd)

@@ -145,6 +145,33 @@ class TestTapKernel:
             (vmap, dx, dy, aw), order=1, modes=["rev"],
             atol=5e-3, rtol=5e-3)
 
+    def test_manual_bwd_matches_autodiff(self):
+        """The rematerializing manual backward (no per-tap residuals — the
+        autodiff scan VJP saved (2r+1)^2 stacked f32 buffers, OOMing the
+        swin train step) must match jax.vjp through the tap reference."""
+        from nmrf_tpu.ops.msda import _tap_bwd
+
+        rng = np.random.default_rng(11)
+        for Hl, Wl, M, D, P, f, r in [(6, 8, 2, 4, 3, 2, 2),
+                                      (4, 4, 2, 4, 2, 4, 5)]:
+            Hq, Wq = Hl * f, Wl * f
+            B, MD, MP = 2, M * D, M * P
+            v = jnp.asarray(rng.standard_normal((B, Hl, Wl, MD)), jnp.float32)
+            dx = jnp.asarray((rng.random((B, Hq, Wq, MP)) * 2 - 1) * (r - .6),
+                             jnp.float32)
+            dy = jnp.asarray((rng.random((B, Hq, Wq, MP)) * 2 - 1) * (r - .6),
+                             jnp.float32)
+            aw = jnp.asarray(rng.random((B, Hq, Wq, MP)), jnp.float32)
+            g = jnp.asarray(rng.standard_normal((B, Hq, Wq, MD)), jnp.float32)
+            _, vjp = jax.vjp(
+                lambda v, x, y, w: _tap_level_reference(v, x, y, w, M, r),
+                v, dx, dy, aw)
+            for name, a, b in zip(("dv", "ddx", "ddy", "daw"), vjp(g),
+                                  _tap_bwd(M, r, (v, dx, dy, aw), g)):
+                np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                           atol=1e-4, rtol=1e-5,
+                                           err_msg=f"{name} f={f} r={r}")
+
 
 class TestTapCoverageDiagnostic:
     def test_fraction_zero_within_radius_and_positive_beyond(self):
