@@ -256,23 +256,37 @@ class WindowAttention(nn.Module):
             # and the positional tables stay VMEM-resident per head.  WB
             # adjacent windows pack per grid cell so small windows still
             # feed the MXU >=128-row tiles.
+            import os as _os
+
             from ..ops.pallas.attention import (
                 choose_column_block, window_attention_native,
-                window_attention_native_op, window_meta,
-                window_positional_terms)
+                window_attention_native_op, window_attention_pos_op,
+                window_meta, window_positional_terms)
 
             T = P * N
             WB = choose_column_block(nww, T)
             meta, sel = window_meta(wh, ww, WB, N)
             pixs = meta[:, 0]
             R = len(pixs)
-            # pixel-granular positional logits, computed HERE with tiny
-            # batched einsums (K = hd) — the kernel DMAs the compact
-            # [R, P] per-cell blocks and only spreads them over token
-            # pairs (the in-kernel selector algebra they replace was ~8x
-            # the FLOPs of the attention itself; ops/pallas/attention.py)
-            qr_blk, kr_blk = window_positional_terms(
-                qkv, k_embed, q_embed, scale, wh, ww, WB, h)
+            # r5 probe (NMRF_FUSED_POS=1 opt-in): window_attention_pos_op
+            # fuses the ENTIRE positional backward into the kernel — no
+            # dqr/dkr HBM round trip, no einsum-VJP — and measured
+            # -7 GB/step HBM traffic (207.7 -> 200.8) but NEUTRAL wall
+            # clock on the production resnet train step (832.2 -> 836.7
+            # ms, same-day A/B at one HEAD): the 4 extra in-kernel dots +
+            # sequential table accumulators cost what the traffic saves.
+            # Kept opt-in per the re-measure-before-crediting convention;
+            # cotangent parity for both paths is pinned by
+            # tests/test_pallas.py::TestWindowPosOp and
+            # test_kernel_partitioning.py::test_window_pos_op_dp_grad.
+            fused_pos = _os.environ.get("NMRF_FUSED_POS", "0") != "0"
+            if self.pallas_interpret or not fused_pos:
+                # pixel-granular positional logits, computed HERE with
+                # tiny batched einsums (K = hd) — the kernel DMAs the
+                # compact [R, P] per-cell blocks and only spreads them
+                # over token pairs
+                qr_blk, kr_blk = window_positional_terms(
+                    qkv, k_embed, q_embed, scale, wh, ww, WB, h)
             # value table stays in-kernel (it contracts the attention
             # probabilities): CHANNEL-major (c, s) [h, R, hd*P]
             ve_flat = v_embed.transpose(2, 0, 3, 1)[:, pixs].reshape(
@@ -296,6 +310,11 @@ class WindowAttention(nn.Module):
                     qkv, qr_blk, kr_blk, ve_flat, shift, scale,
                     wh, ww, WB, h, self.candidate_mask, interpret=True,
                     row0=row0, hp_total=hp_total)
+            elif fused_pos:
+                out = window_attention_pos_op(
+                    qkv, k_embed, q_embed, ve_flat, shift, row0, scale,
+                    wh, ww, WB, h, self.candidate_mask, NEG_INF, hp_total,
+                    part)
             else:
                 out = window_attention_native_op(
                     qkv, qr_blk, kr_blk, ve_flat, shift, row0, scale,

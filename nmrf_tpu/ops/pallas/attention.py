@@ -1015,7 +1015,8 @@ def _bwd_selectors(P, hd):
 
 def _bwd_head_core(q_s, k, v, qr, kr, ve_c, g, selq, selst,
                    sch_cT, p_red, cellmask, scale, _P, cd, P, hd,
-                   want_dx, want_tbl, emit_tbl=None):
+                   want_dx, want_tbl, emit_tbl=None,
+                   ke_c=None, qe_c=None, emit_ke=None, emit_qe=None):
     """One head's backward on [R, hd] tokens (q_s PRE-scaled, like fwd).
 
     Returns (dq, dk, dv, dqr, dkr, dve_c).  dqr/dkr are the [R, P]
@@ -1026,6 +1027,21 @@ def _bwd_head_core(q_s, k, v, qr, kr, ve_c, g, selq, selst,
     table cotangent is handed off as soon as computed and None returned in
     its slot (scoped-VMEM budget).  d(q) is the cotangent of the UNSCALED
     q; d(qr)/d(kr) of the scale-folded blocks exactly as passed.
+
+    FUSED-POSITIONAL mode (r5, ``ke_c``/``qe_c`` given): dqr/dkr never
+    leave the kernel.  Their d(q)/d(k) halves are folded in-kernel via the
+    channel-major lane algebra (``ke_c[i, c*P+s] = scale *
+    k_embed[pix(i), s, c]``, ``qe_c[j, c*P+p] = scale *
+    q_embed[p, pix(j), c]`` — same gather-by-pixel layout as ``ve_c``),
+    and the positional-TABLE cotangents are accumulated via
+    ``emit_ke``/``emit_qe`` as [P, hd*P] blocks:
+    ``d_ke[p, c*P+s] = sum_i selst[p, i] q_s[i, c] dqr[i, s]`` (q_s
+    pre-scaled, so this IS d(k_embed) — the qr scale folds cancel) and
+    ``d_qe[p, c*P+t] = sum_j dkr[j, p] k[j, c] selq[j, t]`` (raw k — the
+    caller multiplies by ``scale`` once).  This replaces the caller-side
+    einsum VJP whose d(qk) output repack (h, c lane interleave at hd < 128)
+    ran at ~14 GB/s effective and whose dqr/dkr operands cost two
+    qr-sized HBM round trips per backward call (r5 train trace).
     """
     attn = _head_probs(q_s, k, qr, kr, selq, selst, cellmask, _P, cd)
     attn_c = attn.astype(cd)
@@ -1070,6 +1086,28 @@ def _bwd_head_core(q_s, k, v, qr, kr, ve_c, g, selq, selst,
     else:
         dqr = lax.dot_general(dlog, selq, (((1,), (0,)), ((), ())), **_P)
         dkr = lax.dot_general(dlog, selq, (((0,), (0,)), ((), ())), **_P)
+    if ke_c is not None:
+        # positional d(q)/d(k) halves: spread dqr/dkr over channels
+        # ((c, s) c-major block tile), gate by the per-token gathered
+        # tables, reduce the P lane groups per channel
+        schT = sch_cT.astype(cd)
+        dqr_e = pltpu.repeat(dqr.astype(cd), hd, 1)         # [R, hd*P]
+        dq = dq + lax.dot_general(dqr_e * ke_c.astype(cd), schT,
+                                  (((1,), (1,)), ((), ())), **_P)
+        dkr_e = pltpu.repeat(dkr.astype(cd), hd, 1)
+        dk = dk + lax.dot_general(dkr_e * qe_c.astype(cd), schT,
+                                  (((1,), (1,)), ((), ())), **_P)
+        # table cotangents, accumulated across grid revisits by the caller
+        qexp = lax.dot_general(q_s, schT, (((1,), (0,)), ((), ())), **_P)
+        emit_ke(lax.dot_general(selst.astype(cd),
+                                qexp.astype(cd) * dqr_e,
+                                (((1,), (0,)), ((), ())), **_P))  # [P, PH]
+        kexp = lax.dot_general(k, schT, (((1,), (0,)), ((), ())), **_P)
+        sqe = pltpu.repeat(selq.astype(cd), hd, 1)          # [R, hd*P]
+        emit_qe(lax.dot_general(dkr.astype(cd),
+                                kexp.astype(cd) * sqe,
+                                (((0,), (0,)), ((), ())), **_P))  # [P, PH]
+        dqr = dkr = None
     return dq, dk, dv, dqr, dkr, dve_c
 
 
@@ -1142,16 +1180,89 @@ def _wan_bwd_fused_kernel(shift_ref, q_ref, k_ref, v_ref, g_ref, qr_ref,
     dkr_ref[0, 0, 0, 0] = dkr.astype(dkr_ref.dtype)
 
 
+def _acc_write(ref, val, first, batch_out):
+    """Predicated first-write / accumulate into a revisited output block."""
+    val = val.astype(jnp.float32)
+
+    @pl.when(first)
+    def _():
+        if batch_out:
+            ref[0, 0] = val
+        else:
+            ref[0] = val
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        if batch_out:
+            ref[0, 0] += val
+        else:
+            ref[0] += val
+
+
+def _wan_bwd_fused_pos_kernel(shift_ref, q_ref, k_ref, v_ref, g_ref, qr_ref,
+                              kr_ref, ve_ref, ke_ref, qe_ref, selq_ref,
+                              selst_ref, schT_ref, pred_ref, mask_ref,
+                              dq_ref, dk_ref, dv_ref, dke_ref, dqe_ref,
+                              dve_ref, *, scale, wh, ww, WB, N, Hp, Wp, neg,
+                              exact, hd, batch_out):
+    """Fully-fused positional backward (r5): like ``_wan_bwd_fused_kernel``
+    but dqr/dkr never leave the kernel — their d(q)/d(k) halves fold into
+    the dq/dk outputs via the gathered ``ke_c``/``qe_c`` tables, and the
+    positional-TABLE cotangents accumulate in-kernel ([h, P, hd*P] f32,
+    same sequential-revisit scheme as d(ve)).  Kills the caller-side
+    einsum VJP: two qr-sized HBM round trips plus the d(qk) output repack
+    that the r5 train trace measured at ~14 GB/s effective.
+    """
+    _P = dict(_F32, precision=lax.Precision.HIGHEST) if exact else _F32
+    cd = jnp.float32 if exact else q_ref.dtype
+    q = q_ref[0, 0, 0, :, 0]                          # [wh, T, hd]
+    T = q.shape[1]
+    R = wh * T
+    q_s = q.reshape(R, hd).astype(cd) * scale
+    k = k_ref[0, 0, 0, :, 0].reshape(R, hd).astype(cd)
+    v = v_ref[0, 0, 0, :, 0].reshape(R, hd)
+    g = g_ref[0, 0, 0, :, 0].reshape(R, hd)
+    cellmask = mask_ref[:] + _shifted_region_mask(
+        shift_ref[0], shift_ref[1], pl.program_id(2), pl.program_id(3),
+        R, wh, ww, WB, N, Hp, Wp, neg)
+    P = wh * ww
+    if batch_out:
+        first = (pl.program_id(2) == 0) & (pl.program_id(3) == 0)
+    else:
+        first = ((pl.program_id(1) == 0) & (pl.program_id(2) == 0)
+                 & (pl.program_id(3) == 0))
+
+    dq, dk, dv, _, _, _ = _bwd_head_core(
+        q_s, k, v, qr_ref[0, 0, 0, 0], kr_ref[0, 0, 0, 0], ve_ref[0], g,
+        selq_ref[:], selst_ref[:],
+        schT_ref[:], pred_ref[:], cellmask, scale, _P, cd, P, hd,
+        True, True,
+        emit_tbl=lambda val: _acc_write(dve_ref, val, first, batch_out),
+        ke_c=ke_ref[0], qe_c=qe_ref[0],
+        emit_ke=lambda val: _acc_write(dke_ref, val, first, batch_out),
+        emit_qe=lambda val: _acc_write(dqe_ref, val, first, batch_out))
+    sh = (wh, T, hd)
+    dq_ref[0, 0, 0, :, 0] = dq.reshape(sh).astype(dq_ref.dtype)
+    dk_ref[0, 0, 0, :, 0] = dk.reshape(sh).astype(dk_ref.dtype)
+    dv_ref[0, 0, 0, :, 0] = dv.reshape(sh).astype(dv_ref.dtype)
+
+
 def _wan_bwd_core(g, qkv, qr, kr, ve_flat, shift, row0,
                   sel, selT, s_ch_c, basemask, sch_cT,
                   p_red, *, scale, wh, ww, WB, num_heads, candidate_mask,
-                  neg, interpret, hp_total, batch_out):
+                  neg, interpret, hp_total, batch_out, pos_tables=None):
     """The fused backward pallas_call; returns (dqkv, dqr, dkr, dve).
 
     dqr/dkr: [B, nwh, nwwB, h, R, P] per-cell block outputs.  dve:
     [h, R, hd*P] fully accumulated (batch_out=False) or [B, h, R, hd*P]
     per-sample partials (batch_out=True — the caller's sharded sum
     carries the cross-shard reduction under SPMD).
+
+    With ``pos_tables=(ke_c, qe_c)`` ([h, R, hd*P] gathered positional
+    tables) the FULLY-fused variant runs instead: returns
+    (dqkv, dke, dqe, dve) where dke/dqe are the [h, P, hd*P]
+    positional-table cotangent accumulators ([B, h, P, hd*P] partials
+    under ``batch_out``) and dqr/dkr never touch HBM.
     """
     B, Hp, Wp, N, C3 = qkv.shape
     if hp_total is None:
@@ -1200,6 +1311,10 @@ def _wan_bwd_core(g, qkv, qr, kr, ve_flat, shift, row0,
                                 lambda b, i, gh, gw: (b, i, 0, 0),
                                 memory_space=pltpu.VMEM)
         dve_shape = jax.ShapeDtypeStruct((B, h, R, PH), jnp.float32)
+        dtb_spec = pl.BlockSpec((1, 1, P, PH),
+                                lambda b, i, gh, gw: (b, i, 0, 0),
+                                memory_space=pltpu.VMEM)
+        dtb_shape = jax.ShapeDtypeStruct((B, h, P, PH), jnp.float32)
     else:
         grid = (h, B, nwh, nwwB)
         comp = lambda c: pl.BlockSpec(  # noqa: E731
@@ -1223,12 +1338,41 @@ def _wan_bwd_core(g, qkv, qr, kr, ve_flat, shift, row0,
                                 lambda i, b, gh, gw: (i, 0, 0),
                                 memory_space=pltpu.VMEM)
         dve_shape = jax.ShapeDtypeStruct((h, R, PH), jnp.float32)
+        dtb_spec = pl.BlockSpec((1, P, PH), lambda i, b, gh, gw: (i, 0, 0),
+                                memory_space=pltpu.VMEM)
+        dtb_shape = jax.ShapeDtypeStruct((h, P, PH), jnp.float32)
+
+    d8 = jax.ShapeDtypeStruct((h, B, nwh, wh, nwwB, T, hd), qkv.dtype)
+    if pos_tables is not None:
+        ke_c, qe_c = pos_tables
+        kernel = functools.partial(
+            _wan_bwd_fused_pos_kernel, scale=scale, wh=wh, ww=ww, WB=WB,
+            N=N, Hp=hp_total, Wp=Wp, neg=neg, exact=exact, hd=hd,
+            batch_out=batch_out)
+        dq8, dk8, dv8, dke, dqe, dve = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                comp(0), comp(1), comp(2), gsp,
+                pos, pos, tb1, tb1, tb1,
+                cst((R, P)), cst((P, R)),
+                cst((hd, PH)), cst((PH, P)), cst((R, R)),
+            ],
+            out_specs=(dxsp, dxsp, dxsp, dtb_spec, dtb_spec, dve_spec),
+            out_shape=(d8, d8, d8, dtb_shape, dtb_shape, dve_shape),
+            interpret=interpret,
+        )(shift_arr, x8, x8, x8, g8, qr, kr, ve_flat, ke_c, qe_c,
+          sel, selT, sch_cT, p_red, basemask)
+        cat = jnp.concatenate([dq8, dk8, dv8], axis=0)
+        dqkv = cat.transpose(1, 2, 3, 4, 5, 0, 6).reshape(
+            B, nwh, wh, nwwB, T, C3).reshape(B, Hp, Wp, N, C3)
+        return dqkv, dke, dqe, dve
 
     kernel = functools.partial(
         _wan_bwd_fused_kernel, scale=scale, wh=wh, ww=ww, WB=WB, N=N,
         Hp=hp_total, Wp=Wp, neg=neg, exact=exact, hd=hd,
         batch_out=batch_out)
-    d8 = jax.ShapeDtypeStruct((h, B, nwh, wh, nwwB, T, hd), qkv.dtype)
     dpos = jax.ShapeDtypeStruct((B, nwh, nwwB, h, R, P), qr.dtype)
     dq8, dk8, dv8, dqr, dkr, dve = pl.pallas_call(
         kernel,
@@ -1340,3 +1484,137 @@ def _wan_bwd(scale, wh, ww, WB, num_heads, candidate_mask, neg, hp_total,
 
 
 window_attention_native_op.defvjp(_wan_fwd, _wan_bwd)
+
+
+# --------------------------------------------------------------------- #
+# Fully-fused positional window attention (r5)
+#
+# ``window_attention_native_op`` leaves the positional-logit VJP to XLA:
+# the backward kernel writes qr-sized dqr/dkr blocks to HBM, the caller's
+# ``window_positional_terms`` einsum VJP reads them back, and its d(qk)
+# output needs an (h, c) lane interleave at hd < 128 — a sublane-crossing
+# repack the r5 train trace measured at ~14 GB/s effective (the largest
+# copy cluster in the step).  This op moves the whole positional backward
+# into the kernel: d(q)/d(k) positional halves fold into the dq/dk
+# outputs via gathered per-token tables, and the table cotangents
+# accumulate in-kernel like d(ve).  Forward is UNCHANGED (same einsum +
+# same forward kernel, bit-identical output).
+# --------------------------------------------------------------------- #
+
+def _pos_bwd_tables(k_embed, q_embed, scale, pixs):
+    """Gather the scaled positional tables by token pixel, channel-major.
+
+    k_embed/q_embed: [P, P, h, hd] (reference WindowAttention tables,
+    NMP.py:258-262; first axis = query pixel for ke, key pixel for qe).
+    Returns (ke_c, qe_c) [h, R, hd*P]: ke_c[h][i, c*P+s] = scale *
+    k_embed[pix(i), s, h, c]; qe_c[h][j, c*P+p] = scale *
+    q_embed[p, pix(j), h, c] — the same gather-by-pixel layout as the
+    value table ``ve_flat``.
+    """
+    P, _, h, hd = k_embed.shape
+    ke = (k_embed * scale).transpose(2, 0, 3, 1).reshape(h, P, hd * P)
+    qe = (q_embed * scale).transpose(2, 1, 3, 0).reshape(h, P, hd * P)
+    return ke[:, pixs], qe[:, pixs]
+
+
+def _wan_bwd_pos_part(g, qkv, qr, kr, ve_flat, ke_c, qe_c, shift, row0,
+                      sel, selT, s_ch_c, basemask, sch_cT, p_red, **kw):
+    return _wan_bwd_core(g, qkv, qr, kr, ve_flat, shift, row0,
+                         sel, selT, s_ch_c, basemask, sch_cT, p_red,
+                         batch_out=True, pos_tables=(ke_c, qe_c), **kw)
+
+
+def window_attention_pos_bwd(g, qkv, qr, kr, ve_flat, k_embed, q_embed,
+                             shift, row0, scale, wh, ww, WB, num_heads,
+                             candidate_mask, neg, hp_total,
+                             partition=False, interpret=None):
+    """Fully-fused backward: returns (dqkv, d_k_embed, d_q_embed, dve)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    N = int(qkv.shape[3])
+    hd = int(qkv.shape[4]) // (3 * num_heads)
+    P = wh * ww
+    consts = _wan_consts(wh, ww, WB, N, hd, candidate_mask, neg)
+    bsel = _bwd_selectors(P, hd)
+    meta, _ = window_meta(wh, ww, WB, N)
+    ke_c, qe_c = _pos_bwd_tables(k_embed, q_embed, scale, meta[:, 0])
+    kw = dict(scale=scale, wh=wh, ww=ww, WB=WB, num_heads=num_heads,
+              candidate_mask=candidate_mask, neg=neg, interpret=interpret,
+              hp_total=hp_total)
+    if not partition:
+        dqkv, dke, dqe, dve = _wan_bwd_core(
+            g, qkv, qr, kr, ve_flat, shift, row0, *consts, *bsel,
+            batch_out=False, pos_tables=(ke_c, qe_c), **kw)
+    else:
+        from .partitioning import shard_over_batch
+
+        args = (g, qkv, qr, kr, ve_flat, ke_c, qe_c,
+                jnp.asarray(shift, jnp.int32),
+                jnp.asarray(row0, jnp.int32)) + consts + bsel
+        bdims = (0, 0, 0, 0) + (None,) * (len(args) - 4)
+        statics = tuple(sorted(kw.items()))
+        dqkv, dke, dqe, dve = shard_over_batch(
+            _wan_bwd_pos_part, bdims, (5, 4, 4, 4), args, statics)
+        dke, dqe, dve = dke.sum(axis=0), dqe.sum(axis=0), dve.sum(axis=0)
+    h = num_heads
+    # un-flatten the [h, P, hd*P] accumulators to table shape [P, P, h, hd].
+    # d(k_embed): accumulated against PRE-SCALED q — the qr scale folds
+    # cancel, no factor.  d(q_embed): accumulated against raw k — one
+    # ``scale`` (kr = k . (q_embed * scale)).
+    dk_embed = dke.reshape(h, P, hd, P).transpose(1, 3, 0, 2)
+    dq_embed = dqe.reshape(h, P, hd, P).transpose(1, 3, 0, 2) * scale
+    return (dqkv, dk_embed.astype(k_embed.dtype),
+            dq_embed.astype(q_embed.dtype), dve.astype(ve_flat.dtype))
+
+
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(6, 7, 8, 9, 10, 11, 12, 13, 14))
+def window_attention_pos_op(qkv, k_embed, q_embed, ve_flat, shift, row0,
+                            scale, wh, ww, WB, num_heads, candidate_mask,
+                            neg=-1e9, hp_total=None, partition=False):
+    """Differentiable window attention over the RAW positional tables
+    (positional-terms einsum + Pallas fwd; fully-fused Pallas bwd)."""
+    qr, kr = window_positional_terms(qkv, k_embed, q_embed, scale,
+                                     wh, ww, WB, num_heads)
+    return window_attention_native(qkv, qr, kr, ve_flat, shift, scale,
+                                   wh, ww, WB, num_heads, candidate_mask,
+                                   neg, row0=row0, hp_total=hp_total,
+                                   partition=partition)
+
+
+def _wap_fwd(qkv, k_embed, q_embed, ve_flat, shift, row0, scale, wh, ww,
+             WB, num_heads, candidate_mask, neg, hp_total, partition=False):
+    qr, kr = window_positional_terms(qkv, k_embed, q_embed, scale,
+                                     wh, ww, WB, num_heads)
+    out = window_attention_native(qkv, qr, kr, ve_flat, shift, scale,
+                                  wh, ww, WB, num_heads, candidate_mask,
+                                  neg, row0=row0, hp_total=hp_total,
+                                  partition=partition)
+    return out, (qkv, qr, kr, ve_flat, k_embed, q_embed, shift, row0)
+
+
+def _wap_bwd(scale, wh, ww, WB, num_heads, candidate_mask, neg, hp_total,
+             partition, res, g):
+    qkv, qr, kr, ve_flat, k_embed, q_embed, shift, row0 = res
+    import os
+
+    if os.environ.get("NMRF_PALLAS_BWD", "1") == "0":
+        # escape hatch: autodiff through the jnp reference + the
+        # positional-terms einsum (A/B timing / Mosaic-regression insurance)
+        def f(qkv, ke, qe, ve):
+            qr_, kr_ = window_positional_terms(qkv, ke, qe, scale,
+                                               wh, ww, WB, num_heads)
+            return window_attention_native_reference(
+                qkv, qr_, kr_, ve, shift, scale, wh, ww, WB, num_heads,
+                candidate_mask, neg, row0=row0, hp_total=hp_total)
+
+        _, vjp = jax.vjp(f, qkv, k_embed, q_embed, ve_flat)
+        return vjp(g) + (None, None)
+    out = window_attention_pos_bwd(
+        g, qkv, qr, kr, ve_flat, k_embed, q_embed, shift, row0, scale,
+        wh, ww, WB, num_heads, candidate_mask, neg, hp_total,
+        partition=partition)
+    return out + (None, None)
+
+
+window_attention_pos_op.defvjp(_wap_fwd, _wap_bwd)

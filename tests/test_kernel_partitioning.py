@@ -214,3 +214,44 @@ def test_window_native_dp_grad_with_pallas_backward():
     for name, a, b in zip(("dqkv", "dqr", "dkr", "dve"), gp, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-4, err_msg=name)
+
+
+def test_window_pos_op_dp_grad():
+    """The r5 fully-fused positional op under batch partitioning: the
+    per-sample d(k_embed)/d(q_embed)/d(ve) table partials must sum across
+    shards to the single-device cotangents."""
+    from nmrf_tpu.ops.pallas.attention import (window_attention_pos_op,
+                                               window_meta)
+
+    B, H, W, N, dim, heads, ws, WB = 4, 8, 12, 2, 16, 2, 4, 3
+    hd = dim // heads
+    scale = hd ** -0.5
+    Pw = ws * ws
+    rng = np.random.RandomState(7)
+    qkv = jnp.asarray(rng.randn(B, H, W, N, 3 * dim).astype(np.float32))
+    ke, qe, veT = (jnp.asarray(
+        (rng.randn(Pw, Pw, heads, hd) * 0.1).astype(np.float32))
+        for _ in range(3))
+    meta, _ = window_meta(ws, ws, WB, N)
+    ve = veT.transpose(2, 0, 3, 1)[:, meta[:, 0]].reshape(
+        heads, len(meta), hd * Pw)
+
+    def loss(qkv, ke, qe, ve, part):
+        out = window_attention_pos_op(
+            qkv, ke, qe, ve, 2, 0, scale, ws, ws, WB, heads, True,
+            -1e9, None, part)
+        return (out * out).sum()
+
+    lr, gr = jax.value_and_grad(
+        lambda *a: loss(*a, False), argnums=(0, 1, 2, 3))(qkv, ke, qe, ve)
+
+    mesh = dp_mesh()
+    sh = NamedSharding(mesh, P("data"))
+    qs = jax.device_put(qkv, sh)
+    lp, gp = jax.jit(jax.value_and_grad(
+        lambda *a: loss(*a, True), argnums=(0, 1, 2, 3)))(qs, ke, qe, ve)
+
+    np.testing.assert_allclose(float(lp), float(lr), rtol=1e-5)
+    for name, a, b in zip(("dqkv", "dke", "dqe", "dve"), gp, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4, err_msg=name)

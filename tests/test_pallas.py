@@ -244,6 +244,57 @@ class TestWindowNative:
             (qkv, qr, kr, ve), eps=1e-2, atol=5e-3, rtol=5e-3)
 
 
+class TestWindowPosOp:
+    """Fully-fused positional op (r5): forward and ALL cotangents —
+    including the raw k_embed/q_embed table gradients that never leave
+    the kernel as dqr/dkr — must match jax.vjp through the composite
+    (window_positional_terms einsum + dense reference attention)."""
+
+    @pytest.mark.parametrize(
+        "B,H,W,N,dim,heads,ws,WB,shift",
+        [(2, 8, 24, 2, 16, 2, 4, 3, 0),
+         (1, 8, 24, 2, 16, 2, 4, 3, 2),
+         (1, 12, 12, 3, 8, 2, 6, 1, 3)])
+    def test_matches_composite_vjp(self, B, H, W, N, dim, heads, ws, WB,
+                                   shift):
+        hd = dim // heads
+        scale = hd ** -0.5
+        P = ws * ws
+        rng = np.random.RandomState(0)
+        qkv = jnp.asarray(rng.randn(B, H, W, N, 3 * dim).astype(np.float32))
+        ke = jnp.asarray(
+            (rng.randn(P, P, heads, hd) * 0.1).astype(np.float32))
+        qe = jnp.asarray(
+            (rng.randn(P, P, heads, hd) * 0.1).astype(np.float32))
+        veT = jnp.asarray(
+            (rng.randn(P, P, heads, hd) * 0.1).astype(np.float32))
+        meta, _ = fa.window_meta(ws, ws, WB, N)
+        pixs = meta[:, 0]
+        ve = veT.transpose(2, 0, 3, 1)[:, pixs].reshape(
+            heads, len(pixs), hd * P)
+        g = jnp.asarray(rng.randn(B, H, W, N, dim).astype(np.float32))
+
+        def f_ref(qkv, ke, qe, ve):
+            qr, kr = fa.window_positional_terms(qkv, ke, qe, scale,
+                                                ws, ws, WB, heads)
+            return fa.window_attention_native_reference(
+                qkv, qr, kr, ve, shift, scale, ws, ws, WB, heads, True,
+                row0=0, hp_total=H)
+
+        o1, vjp1 = jax.vjp(f_ref, qkv, ke, qe, ve)
+        o2, vjp2 = jax.vjp(
+            lambda qkv, ke, qe, ve: fa.window_attention_pos_op(
+                qkv, ke, qe, ve, shift, 0, scale, ws, ws, WB, heads,
+                True, -1e9, H, False),
+            qkv, ke, qe, ve)
+        np.testing.assert_allclose(np.asarray(o2), np.asarray(o1),
+                                   atol=2e-5, rtol=2e-5)
+        for name, a, b in zip(("dqkv", "dke", "dqe", "dve"),
+                              vjp1(g), vjp2(g)):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=2e-5, atol=2e-5, err_msg=name)
+
+
 class TestWindowNativeBackwardKernel:
     """Fused Pallas backward (r4) vs the dense reference VJP.
 

@@ -212,6 +212,14 @@ def main():
             epe = holdout_epe(params)
             log["eval"].append({"step": s, "holdout_epe": round(epe, 4)})
             print(f"step {s}: holdout EPE {epe:.3f}", flush=True)
+            # incremental artifact dump: every h2d transfer's payload is
+            # retained by the relay client for process lifetime (measured
+            # ~57 MB/step at the production batch, tools/probe notes in
+            # PARITY.md), so a long run can die on HOST RAM at ~1850
+            # steps x 66 MB — keep the evidence collected so far on disk
+            with open(out_path, "w") as f:
+                json.dump({**log, "passed": None,
+                           "note": "partial (in progress)"}, f, indent=2)
 
     # ---- resume equivalence: restore the mid-run checkpoint and replay ----
     if saved is not None and resume_len > 0:
