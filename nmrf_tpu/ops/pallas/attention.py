@@ -1247,10 +1247,84 @@ def _wan_bwd_fused_pos_kernel(shift_ref, q_ref, k_ref, v_ref, g_ref, qr_ref,
     dv_ref[0, 0, 0, :, 0] = dv.reshape(sh).astype(dv_ref.dtype)
 
 
+def _wan_bwd_kernel_direct(shift_ref, x_ref, g_ref, qr_ref, kr_ref, ve_ref,
+                           selq_ref, selst_ref, schT_ref, pred_ref,
+                           mask_ref, dx_ref, dqr_ref, dkr_ref, dve_ref, *,
+                           scale, wh, ww, WB, N, Hp, Wp, neg, exact,
+                           num_heads, hd, batch_out):
+    """Direct-packing fused backward (r5): qkv and g arrive in natural
+    image layout ([wh, WB*ww*N, 3C] / [.., C] blocks — whole 3C-lane DMA
+    runs, no caller transpose), heads unroll in-kernel via static hd-lane
+    slices (same idiom as ``_window_native_kernel_direct``), and d(qkv)
+    is written back in image layout — eliminating the head-major qkv/g
+    feed transposes and the d(qkv) concat+transpose reassembly of the
+    transposed path (the r5 train trace put the backward's copy/layout
+    class at 155 ms of the 833 ms step, led by exactly these).
+    d(ve) accumulates [h, R, hd*P] f32 across sequential (b, gh, gw)
+    revisits (per-sample [B, ...] partials under ``batch_out``)."""
+    _P = dict(_F32, precision=lax.Precision.HIGHEST) if exact else _F32
+    cd = jnp.float32 if exact else x_ref.dtype
+    h = num_heads
+    x = x_ref[0, 0, :, 0]                           # [wh, WBww*N, 3C]
+    T = x.shape[1]
+    R = wh * T
+    x2 = x.reshape(R, 3 * h * hd)
+    gb = g_ref[0, 0, :, 0].reshape(R, h * hd)
+    cellmask = mask_ref[:] + _shifted_region_mask(
+        shift_ref[0], shift_ref[1], pl.program_id(1), pl.program_id(2),
+        R, wh, ww, WB, N, Hp, Wp, neg)
+    selq = selq_ref[:]
+    selst = selst_ref[:]
+    schT = schT_ref[:]
+    pred = pred_ref[:]
+    P = wh * ww
+    if batch_out:
+        first = (pl.program_id(1) == 0) & (pl.program_id(2) == 0)
+    else:
+        first = ((pl.program_id(0) == 0) & (pl.program_id(1) == 0)
+                 & (pl.program_id(2) == 0))
+    dqs, dks, dvs = [], [], []
+    for i in range(h):                  # channel order (component, head, hd)
+        q_s = x2[:, i * hd:(i + 1) * hd].astype(cd) * scale
+        k = x2[:, (h + i) * hd:(h + i + 1) * hd].astype(cd)
+        v = x2[:, (2 * h + i) * hd:(2 * h + i + 1) * hd]
+        g1 = gb[:, i * hd:(i + 1) * hd]
+
+        def emit_tbl(val, i=i):
+            val = val.astype(jnp.float32)
+
+            @pl.when(first)
+            def _():
+                if batch_out:
+                    dve_ref[0, i] = val
+                else:
+                    dve_ref[i] = val
+
+            @pl.when(jnp.logical_not(first))
+            def _():
+                if batch_out:
+                    dve_ref[0, i] += val
+                else:
+                    dve_ref[i] += val
+
+        dq, dk, dv, dqr, dkr, _ = _bwd_head_core(
+            q_s, k, v, qr_ref[0, 0, 0, i], kr_ref[0, 0, 0, i], ve_ref[i],
+            g1, selq, selst, schT, pred, cellmask, scale, _P, cd, P, hd,
+            True, True, emit_tbl=emit_tbl)
+        dqr_ref[0, 0, 0, i] = dqr.astype(dqr_ref.dtype)
+        dkr_ref[0, 0, 0, i] = dkr.astype(dkr_ref.dtype)
+        dqs.append(dq)
+        dks.append(dk)
+        dvs.append(dv)
+    dx2 = jnp.concatenate(dqs + dks + dvs, axis=-1)   # [R, 3C]
+    dx_ref[0, 0, :, 0] = dx2.reshape(wh, T, 3 * h * hd).astype(dx_ref.dtype)
+
+
 def _wan_bwd_core(g, qkv, qr, kr, ve_flat, shift, row0,
                   sel, selT, s_ch_c, basemask, sch_cT,
                   p_red, *, scale, wh, ww, WB, num_heads, candidate_mask,
-                  neg, interpret, hp_total, batch_out, pos_tables=None):
+                  neg, interpret, hp_total, batch_out, pos_tables=None,
+                  direct=True):
     """The fused backward pallas_call; returns (dqkv, dqr, dkr, dve).
 
     dqr/dkr: [B, nwh, nwwB, h, R, P] per-cell block outputs.  dve:
@@ -1280,9 +1354,66 @@ def _wan_bwd_core(g, qkv, qr, kr, ve_flat, shift, row0,
 
     shift_arr = jnp.stack([jnp.asarray(shift, jnp.int32).reshape(()),
                            jnp.asarray(row0, jnp.int32).reshape(())])
-    # head-major feeds: Mosaic requires the last two block dims full (or
-    # (8, 128)-aligned), so the per-head channel selection must be a
-    # LEADING blocked axis — two qkv-sized transposes per backward call
+
+    if direct and pos_tables is None:
+        # Direct-packing backward (r5, default): image-layout blocks in
+        # AND out, heads unrolled in-kernel — no head-major feed
+        # transposes, no d(qkv) reassembly (see _wan_bwd_kernel_direct).
+        x = qkv.reshape(B, nwh, wh, nwwB, T, C3)
+        gx = g.reshape(B, nwh, wh, nwwB, T, h * hd)
+        xspec = pl.BlockSpec((1, 1, wh, 1, T, C3),
+                             lambda b, gh, gw: (b, gh, 0, gw, 0, 0),
+                             memory_space=pltpu.VMEM)
+        gspec = pl.BlockSpec((1, 1, wh, 1, T, h * hd),
+                             lambda b, gh, gw: (b, gh, 0, gw, 0, 0),
+                             memory_space=pltpu.VMEM)
+        dxspec = pl.BlockSpec((1, 1, wh, 1, T, C3),
+                              lambda b, gh, gw: (b, gh, 0, gw, 0, 0),
+                              memory_space=pltpu.VMEM)
+        posd = pl.BlockSpec((1, 1, 1, h, R, P),
+                            lambda b, gh, gw: (b, gh, gw, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+        tbld = pl.BlockSpec((h, R, PH), lambda b, gh, gw: (0, 0, 0),
+                            memory_space=pltpu.VMEM)
+        cstd = lambda shape: pl.BlockSpec(  # noqa: E731
+            shape, lambda b, gh, gw: tuple(0 for _ in shape),
+            memory_space=pltpu.VMEM)
+        if batch_out:
+            dve_spec = pl.BlockSpec((1, h, R, PH),
+                                    lambda b, gh, gw: (b, 0, 0, 0),
+                                    memory_space=pltpu.VMEM)
+            dve_shape = jax.ShapeDtypeStruct((B, h, R, PH), jnp.float32)
+        else:
+            dve_spec = pl.BlockSpec((h, R, PH), lambda b, gh, gw: (0, 0, 0),
+                                    memory_space=pltpu.VMEM)
+            dve_shape = jax.ShapeDtypeStruct((h, R, PH), jnp.float32)
+        kernel = functools.partial(
+            _wan_bwd_kernel_direct, scale=scale, wh=wh, ww=ww, WB=WB, N=N,
+            Hp=hp_total, Wp=Wp, neg=neg, exact=exact, num_heads=h, hd=hd,
+            batch_out=batch_out)
+        dpos = jax.ShapeDtypeStruct((B, nwh, nwwB, h, R, P), qr.dtype)
+        dx, dqr_o, dkr_o, dve = pl.pallas_call(
+            kernel,
+            grid=(B, nwh, nwwB),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                xspec, gspec, posd, posd, tbld,
+                cstd((R, P)), cstd((P, R)),
+                cstd((hd, PH)), cstd((PH, P)), cstd((R, R)),
+            ],
+            out_specs=(dxspec, posd, posd, dve_spec),
+            out_shape=(jax.ShapeDtypeStruct((B, nwh, wh, nwwB, T, C3),
+                                            qkv.dtype), dpos, dpos,
+                       dve_shape),
+            interpret=interpret,
+        )(shift_arr, x, gx, qr, kr, ve_flat, sel, selT, sch_cT, p_red,
+          basemask)
+        return dx.reshape(B, Hp, Wp, N, C3), dqr_o, dkr_o, dve
+
+    # head-major feeds (transposed A/B path): Mosaic requires the last two
+    # block dims full (or (8, 128)-aligned), so the per-head channel
+    # selection must be a LEADING blocked axis — two qkv-sized transposes
+    # per backward call
     x8 = qkv.reshape(B, nwh, wh, nwwB, T, 3 * h, hd).transpose(
         5, 0, 1, 2, 3, 4, 6)                    # [3h, B, nwh, wh, nwwB, T, hd]
     g8 = g.reshape(B, nwh, wh, nwwB, T, h, hd).transpose(
@@ -1407,17 +1538,22 @@ def _wan_bwd_part(g, qkv, qr, kr, ve_flat, shift, row0,
 def window_attention_native_bwd(g, qkv, qr, kr, ve_flat, shift,
                                 row0, scale, wh, ww, WB, num_heads,
                                 candidate_mask, neg, hp_total,
-                                partition=False, interpret=None):
+                                partition=False, interpret=None,
+                                direct=None):
     """Fused backward of :func:`window_attention_native` (direct layout)."""
+    import os
+
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    if direct is None:
+        direct = os.environ.get("NMRF_BWD_DIRECT", "1") != "0"
     N = int(qkv.shape[3])
     hd = int(qkv.shape[4]) // (3 * num_heads)
     consts = _wan_consts(wh, ww, WB, N, hd, candidate_mask, neg)
     bsel = _bwd_selectors(wh * ww, hd)
     kw = dict(scale=scale, wh=wh, ww=ww, WB=WB, num_heads=num_heads,
               candidate_mask=candidate_mask, neg=neg, interpret=interpret,
-              hp_total=hp_total)
+              hp_total=hp_total, direct=direct)
     if not partition:
         dqkv, dqr, dkr, dve = _wan_bwd_core(g, qkv, qr, kr, ve_flat,
                                             shift, row0, *consts, *bsel,

@@ -353,6 +353,20 @@ class TestWindowNativeBackwardKernel:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=2e-5, atol=2e-5, err_msg=name)
 
+    def test_direct_matches_transposed(self):
+        """r5 direct-packing backward (image-layout blocks, heads unrolled
+        in-kernel) vs the transposed head-major path: identical per-head
+        dot sequence and d(ve) revisit order -> bit-equal cotangents."""
+        qkv, (qr, kr, ve), g, scale, ws, WB, heads = self._data()
+        a = fa.window_attention_native_bwd(
+            g, qkv, qr, kr, ve, 2, 0, scale, ws, ws, WB, heads, True,
+            -1e9, None, direct=True)
+        b = fa.window_attention_native_bwd(
+            g, qkv, qr, kr, ve, 2, 0, scale, ws, ws, WB, heads, True,
+            -1e9, None, direct=False)
+        for name, x, y in zip(("dqkv", "dqr", "dkr", "dve"), a, b):
+            assert jnp.array_equal(x, y), name
+
     def test_bf16(self):
         """bf16 primals: the value-table grad accumulates in f32 inside the
         kernel — compare against the f32 reference VJP of the same
