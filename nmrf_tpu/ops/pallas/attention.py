@@ -1046,15 +1046,23 @@ def _bwd_head_core(q_s, k, v, qr, kr, ve_c, g, selq, selst,
     attn = _head_probs(q_s, k, qr, kr, selq, selst, cellmask, _P, cd)
     attn_c = attn.astype(cd)
     g = g.astype(cd)
-    # value-table branch: gexp[i, c*P+s] = g[i, c] (channel-major lanes)
+    # value-table branch: gexp[i, c*P+s] = g[i, c] (channel-major lanes).
+    # The [R, hd*P] transients are kept in the COMPUTE dtype (bf16 on the
+    # production path): the head-unrolled direct kernel holds several per
+    # head and f32 copies blew Mosaic's 16 MB scoped-vmem stack by 2.2 MB
+    # at the inference-NMP production shape (d(ve) still ACCUMULATES f32
+    # in its output ref — only the per-cell addend is bf16-rounded, the
+    # same rounding class as the bf16 dots feeding it).
     gexp = lax.dot_general(g, sch_cT.astype(cd),
-                           (((1,), (0,)), ((), ())), **_P)     # [R, hd*P]
+                           (((1,), (0,)), ((), ())),
+                           **_P).astype(cd)                    # [R, hd*P]
     datt_s = lax.dot_general((gexp * ve_c.astype(cd)), p_red.astype(cd),
                              (((1,), (0,)), ((), ())), **_P)   # [R, P]
     dve_c = None
     if want_tbl:
-        attn_sT = lax.dot_general(attn_c, selq,
-                                  (((1,), (0,)), ((), ())), **_P)  # [R, P]
+        attn_sT = lax.dot_general(attn_c, selq.astype(cd),
+                                  (((1,), (0,)), ((), ())),
+                                  **_P).astype(cd)             # [R, P]
         dve_c = gexp * pltpu.repeat(attn_sT, hd, 1)
         if emit_tbl is not None:
             emit_tbl(dve_c)
@@ -1251,7 +1259,8 @@ def _wan_bwd_kernel_direct(shift_ref, x_ref, g_ref, qr_ref, kr_ref, ve_ref,
                            selq_ref, selst_ref, schT_ref, pred_ref,
                            mask_ref, dx_ref, dqr_ref, dkr_ref, dve_ref, *,
                            scale, wh, ww, WB, N, Hp, Wp, neg, exact,
-                           num_heads, hd, batch_out):
+                           num_heads, hd, batch_out, head0=0,
+                           num_heads_total=None):
     """Direct-packing fused backward (r5): qkv and g arrive in natural
     image layout ([wh, WB*ww*N, 3C] / [.., C] blocks — whole 3C-lane DMA
     runs, no caller transpose), heads unroll in-kernel via static hd-lane
@@ -1261,15 +1270,24 @@ def _wan_bwd_kernel_direct(shift_ref, x_ref, g_ref, qr_ref, kr_ref, ve_ref,
     transposed path (the r5 train trace put the backward's copy/layout
     class at 155 ms of the 833 ms step, led by exactly these).
     d(ve) accumulates [h, R, hd*P] f32 across sequential (b, gh, gw)
-    revisits (per-sample [B, ...] partials under ``batch_out``)."""
+    revisits (per-sample [B, ...] partials under ``batch_out``).
+
+    ``head0``/``num_heads_total``: when the caller splits the heads over
+    several pallas_calls to fit Mosaic's 16 MB scoped-vmem stack (the
+    full-head variant needs ~18 MB at the inference-NMP production
+    shape), this call processes heads [head0, head0 + num_heads) of the
+    ``num_heads_total`` packed in x's 3C lanes, and writes a COMPACT
+    [.., 3 * num_heads * hd] d(x) block (its heads are contiguous per
+    component; the caller reassembles with one lane concat)."""
     _P = dict(_F32, precision=lax.Precision.HIGHEST) if exact else _F32
     cd = jnp.float32 if exact else x_ref.dtype
     h = num_heads
+    ht = num_heads_total if num_heads_total is not None else h
     x = x_ref[0, 0, :, 0]                           # [wh, WBww*N, 3C]
     T = x.shape[1]
     R = wh * T
-    x2 = x.reshape(R, 3 * h * hd)
-    gb = g_ref[0, 0, :, 0].reshape(R, h * hd)
+    x2 = x.reshape(R, 3 * ht * hd)
+    gb = g_ref[0, 0, :, 0].reshape(R, ht * hd)
     cellmask = mask_ref[:] + _shifted_region_mask(
         shift_ref[0], shift_ref[1], pl.program_id(1), pl.program_id(2),
         R, wh, ww, WB, N, Hp, Wp, neg)
@@ -1285,10 +1303,11 @@ def _wan_bwd_kernel_direct(shift_ref, x_ref, g_ref, qr_ref, kr_ref, ve_ref,
                  & (pl.program_id(2) == 0))
     dqs, dks, dvs = [], [], []
     for i in range(h):                  # channel order (component, head, hd)
-        q_s = x2[:, i * hd:(i + 1) * hd].astype(cd) * scale
-        k = x2[:, (h + i) * hd:(h + i + 1) * hd].astype(cd)
-        v = x2[:, (2 * h + i) * hd:(2 * h + i + 1) * hd]
-        g1 = gb[:, i * hd:(i + 1) * hd]
+        j = head0 + i
+        q_s = x2[:, j * hd:(j + 1) * hd].astype(cd) * scale
+        k = x2[:, (ht + j) * hd:(ht + j + 1) * hd].astype(cd)
+        v = x2[:, (2 * ht + j) * hd:(2 * ht + j + 1) * hd]
+        g1 = gb[:, j * hd:(j + 1) * hd]
 
         def emit_tbl(val, i=i):
             val = val.astype(jnp.float32)
@@ -1359,6 +1378,35 @@ def _wan_bwd_core(g, qkv, qr, kr, ve_flat, shift, row0,
         # Direct-packing backward (r5, default): image-layout blocks in
         # AND out, heads unrolled in-kernel — no head-major feed
         # transposes, no d(qkv) reassembly (see _wan_bwd_kernel_direct).
+        #
+        # Head-group splitting: the all-head kernel needs ~18 MB of
+        # Mosaic scoped vmem at the inference-NMP production shape
+        # (dve [h, R, PH] f32 block 5.3 MB + ve 2.65 MB + per-head
+        # [R, PH] stack) vs the 16 MB limit, so the heads are split over
+        # G pallas_calls with PYTHON-static head offsets: each call DMAs
+        # the full x/g blocks (whole-lane runs, re-fetched G times —
+        # cheap) but carries only its heads' tables/accumulators and
+        # writes a COMPACT d(x) lane block; one lane concat reassembles
+        # (heads of a group are contiguous in the (component, head, hd)
+        # channel order).
+        itm = 2 if qkv.dtype == jnp.bfloat16 else 4
+
+        def est(hpc):
+            fixed = ((2 * C3 + h * hd) * wh * T * itm       # x, dx, g
+                     + 4 * hpc * R * P * itm                 # qr/kr/dqr/dkr
+                     + hpc * R * PH * (itm + 4)              # ve + dve
+                     + (2 * R * P + hd * PH + PH * P + R * R) * 4)
+            stack = 8 * R * PH * itm + 6 * R * R * 4
+            return fixed + stack
+
+        import os as _os
+
+        G = int(_os.environ.get("NMRF_BWD_HEAD_GROUPS", "0"))
+        if G <= 0 or h % G != 0:
+            G = 1
+            while est(h // G) > 15e6 and G < h and h % (2 * G) == 0:
+                G *= 2
+        hpc = h // G
         x = qkv.reshape(B, nwh, wh, nwwB, T, C3)
         gx = g.reshape(B, nwh, wh, nwwB, T, h * hd)
         xspec = pl.BlockSpec((1, 1, wh, 1, T, C3),
@@ -1367,47 +1415,68 @@ def _wan_bwd_core(g, qkv, qr, kr, ve_flat, shift, row0,
         gspec = pl.BlockSpec((1, 1, wh, 1, T, h * hd),
                              lambda b, gh, gw: (b, gh, 0, gw, 0, 0),
                              memory_space=pltpu.VMEM)
-        dxspec = pl.BlockSpec((1, 1, wh, 1, T, C3),
+        dxspec = pl.BlockSpec((1, 1, wh, 1, T, 3 * hpc * hd),
                               lambda b, gh, gw: (b, gh, 0, gw, 0, 0),
                               memory_space=pltpu.VMEM)
-        posd = pl.BlockSpec((1, 1, 1, h, R, P),
+        posd = pl.BlockSpec((1, 1, 1, hpc, R, P),
                             lambda b, gh, gw: (b, gh, gw, 0, 0, 0),
                             memory_space=pltpu.VMEM)
-        tbld = pl.BlockSpec((h, R, PH), lambda b, gh, gw: (0, 0, 0),
+        tbld = pl.BlockSpec((hpc, R, PH), lambda b, gh, gw: (0, 0, 0),
                             memory_space=pltpu.VMEM)
         cstd = lambda shape: pl.BlockSpec(  # noqa: E731
             shape, lambda b, gh, gw: tuple(0 for _ in shape),
             memory_space=pltpu.VMEM)
         if batch_out:
-            dve_spec = pl.BlockSpec((1, h, R, PH),
+            dve_spec = pl.BlockSpec((1, hpc, R, PH),
                                     lambda b, gh, gw: (b, 0, 0, 0),
                                     memory_space=pltpu.VMEM)
-            dve_shape = jax.ShapeDtypeStruct((B, h, R, PH), jnp.float32)
+            dve_shape = jax.ShapeDtypeStruct((B, hpc, R, PH), jnp.float32)
         else:
-            dve_spec = pl.BlockSpec((h, R, PH), lambda b, gh, gw: (0, 0, 0),
+            dve_spec = pl.BlockSpec((hpc, R, PH),
+                                    lambda b, gh, gw: (0, 0, 0),
                                     memory_space=pltpu.VMEM)
-            dve_shape = jax.ShapeDtypeStruct((h, R, PH), jnp.float32)
-        kernel = functools.partial(
-            _wan_bwd_kernel_direct, scale=scale, wh=wh, ww=ww, WB=WB, N=N,
-            Hp=hp_total, Wp=Wp, neg=neg, exact=exact, num_heads=h, hd=hd,
-            batch_out=batch_out)
-        dpos = jax.ShapeDtypeStruct((B, nwh, nwwB, h, R, P), qr.dtype)
-        dx, dqr_o, dkr_o, dve = pl.pallas_call(
-            kernel,
-            grid=(B, nwh, nwwB),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                xspec, gspec, posd, posd, tbld,
-                cstd((R, P)), cstd((P, R)),
-                cstd((hd, PH)), cstd((PH, P)), cstd((R, R)),
-            ],
-            out_specs=(dxspec, posd, posd, dve_spec),
-            out_shape=(jax.ShapeDtypeStruct((B, nwh, wh, nwwB, T, C3),
-                                            qkv.dtype), dpos, dpos,
-                       dve_shape),
-            interpret=interpret,
-        )(shift_arr, x, gx, qr, kr, ve_flat, sel, selT, sch_cT, p_red,
-          basemask)
+            dve_shape = jax.ShapeDtypeStruct((hpc, R, PH), jnp.float32)
+        dpos = jax.ShapeDtypeStruct((B, nwh, nwwB, hpc, R, P), qr.dtype)
+        dxs, dqrs, dkrs, dves = [], [], [], []
+        for gi in range(G):
+            kernel = functools.partial(
+                _wan_bwd_kernel_direct, scale=scale, wh=wh, ww=ww, WB=WB,
+                N=N, Hp=hp_total, Wp=Wp, neg=neg, exact=exact,
+                num_heads=hpc, hd=hd, batch_out=batch_out,
+                head0=gi * hpc, num_heads_total=h)
+            h0, h1 = gi * hpc, (gi + 1) * hpc
+            dx_g, dqr_g, dkr_g, dve_g = pl.pallas_call(
+                kernel,
+                grid=(B, nwh, nwwB),
+                in_specs=[
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                    xspec, gspec, posd, posd, tbld,
+                    cstd((R, P)), cstd((P, R)),
+                    cstd((hd, PH)), cstd((PH, P)), cstd((R, R)),
+                ],
+                out_specs=(dxspec, posd, posd, dve_spec),
+                out_shape=(jax.ShapeDtypeStruct(
+                    (B, nwh, wh, nwwB, T, 3 * hpc * hd), qkv.dtype),
+                    dpos, dpos, dve_shape),
+                interpret=interpret,
+            )(shift_arr, x, gx, qr[:, :, :, h0:h1], kr[:, :, :, h0:h1],
+              ve_flat[h0:h1], sel, selT, sch_cT, p_red, basemask)
+            dxs.append(dx_g)
+            dqrs.append(dqr_g)
+            dkrs.append(dkr_g)
+            dves.append(dve_g)
+        if G == 1:
+            dx, dqr_o, dkr_o, dve = dxs[0], dqrs[0], dkrs[0], dves[0]
+        else:
+            # reassemble lanes: each group's compact [.., 3, hpc*hd]
+            # channels are contiguous per component in global head order
+            parts = [d.reshape(B, nwh, wh, nwwB, T, 3, hpc * hd)
+                     for d in dxs]
+            dx = jnp.concatenate(parts, axis=-1).reshape(
+                B, nwh, wh, nwwB, T, C3)
+            dqr_o = jnp.concatenate(dqrs, axis=3)
+            dkr_o = jnp.concatenate(dkrs, axis=3)
+            dve = jnp.concatenate(dves, axis=1 if batch_out else 0)
         return dx.reshape(B, Hp, Wp, N, C3), dqr_o, dkr_o, dve
 
     # head-major feeds (transposed A/B path): Mosaic requires the last two

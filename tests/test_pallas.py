@@ -356,16 +356,24 @@ class TestWindowNativeBackwardKernel:
     def test_direct_matches_transposed(self):
         """r5 direct-packing backward (image-layout blocks, heads unrolled
         in-kernel) vs the transposed head-major path: identical per-head
-        dot sequence and d(ve) revisit order -> bit-equal cotangents."""
+        dot sequence and d(ve) revisit order -> bit-equal cotangents.
+        Also with the heads split over 2 pallas_calls (the scoped-vmem
+        fallback at production shapes, NMRF_BWD_HEAD_GROUPS)."""
         qkv, (qr, kr, ve), g, scale, ws, WB, heads = self._data()
-        a = fa.window_attention_native_bwd(
-            g, qkv, qr, kr, ve, 2, 0, scale, ws, ws, WB, heads, True,
-            -1e9, None, direct=True)
         b = fa.window_attention_native_bwd(
             g, qkv, qr, kr, ve, 2, 0, scale, ws, ws, WB, heads, True,
             -1e9, None, direct=False)
-        for name, x, y in zip(("dqkv", "dqr", "dkr", "dve"), a, b):
-            assert jnp.array_equal(x, y), name
+        import os
+        for groups in ("0", "2"):
+            os.environ["NMRF_BWD_HEAD_GROUPS"] = groups
+            try:
+                a = fa.window_attention_native_bwd(
+                    g, qkv, qr, kr, ve, 2, 0, scale, ws, ws, WB, heads,
+                    True, -1e9, None, direct=True)
+            finally:
+                del os.environ["NMRF_BWD_HEAD_GROUPS"]
+            for name, x, y in zip(("dqkv", "dqr", "dkr", "dve"), a, b):
+                assert jnp.array_equal(x, y), (groups, name)
 
     def test_bf16(self):
         """bf16 primals: the value-table grad accumulates in f32 inside the
