@@ -179,6 +179,13 @@ def main():
                       "dtype": cfg.TPU.COMPUTE_DTYPE,
                       "steps": steps, "epe_thresh": epe_thresh,
                       "base_lr": cfg.SOLVER.BASE_LR,
+                      # OneCycle spans MAX_ITER; running fewer steps than
+                      # the horizon keeps the LR in the hot phase — the
+                      # regime that recovers the disp heads from the
+                      # relu-collapse (a 1500-step horizon collapses
+                      # unrecoverably at the same peak LR; see
+                      # CONVERGENCE_UNALIGNED.json runs, 2026-08-20)
+                      "schedule_max_iter": cfg.SOLVER.MAX_ITER,
                       "synth_max_disp": synth_max_disp,
                       "synth_align": synth_align},
            "platform": jax.devices()[0].platform,
@@ -294,9 +301,13 @@ def main():
           f"{abl_aligned:.3f}, unaligned {epe_unal:.3f} -> {abl_unal:.3f}",
           flush=True)
     log["unaligned_note"] = (
-        "same holdout scenes with sub-bin (unquantized) disparities — "
-        "non-gating diagnostic; learning sub-bin matching from scratch is "
-        "the reference's 300k-step problem, not a 1000-step gate's")
+        "same holdout scenes with sub-bin (unquantized) disparities.  "
+        "r5 finding (supersedes the r4 'plateaus at ~14.5' hypothesis): "
+        "with the OneCycle horizon at 4000 and 1500 steps run, the "
+        "unaligned task reaches SUB-PIXEL holdout EPE (0.833, "
+        "CONVERGENCE_UNALIGNED.json) — the ~15 EPE plateau is the "
+        "pre-recovery phase of the disp-head relu-collapse, not a "
+        "capability ceiling")
     log["passed"] = bool(epe_final < epe_thresh) and exact
     print(f"final holdout EPE {epe_final:.3f} (thresh {epe_thresh}) "
           f"unaligned-diagnostic {epe_unal:.3f} passed={log['passed']}",
